@@ -1,0 +1,99 @@
+"""Headline benchmark: 3d_affs U-Net inference throughput (output voxels/sec).
+
+Measures the flagship inference path — the 3d_affs setup on its standard
+inflated tile (input_shape + shape_increase = 32x412x412 -> output
+4x320x320, reference ``bootstrapper/models/3d_affs/net_config.json:15-17``,
+``bootstrapper/predict.py:114-117``) in bfloat16 on whatever accelerator
+JAX finds (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no numbers (BASELINE.md). We therefore
+anchor against an analytic estimate of the reference torch path on an
+A100: this tile costs ~20 TFLOP (dominated by the 1500-channel bottom
+level); A100 bf16 peak 312 TFLOP/s at a generous 35% utilisation gives
+~109 TFLOP/s -> ~183 ms/tile -> ~2.2e6 output voxels/s.
+``vs_baseline`` = measured / 2.2e6.
+
+Distinct random inputs are used per iteration: repeated identical
+executions can be deduplicated upstream and report fantasy numbers.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_GPU_VOX_PER_SEC = 2.2e6
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bootstrapper_tpu.models import Model
+
+    model = Model.from_setup("3d_affs")
+    nc = model.net_config
+    input_shape = [a + b for a, b in zip(nc["input_shape"], nc["shape_increase"])]
+    output_shape = [a + b for a, b in zip(nc["output_shape"], nc["shape_increase"])]
+
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def forward(params, x):
+        return model.apply(params, x)["3d_affs"]
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    xs = [
+        jax.random.uniform(k, (1, *input_shape, 1), jnp.bfloat16) for k in keys
+    ]
+
+    # compile + warmup; the float() fetch forces real execution (a bare
+    # block_until_ready can return before the remote compile/run happens)
+    out = forward(params, xs[0])
+    assert tuple(out.shape[1:-1]) == tuple(output_shape), out.shape
+    for x in xs:
+        float(forward(params, x).mean())
+
+    # same jit wrapper -> same executable cache (a fresh jax.jit() here
+    # would trigger a second, separately-timed remote compile)
+    cost = forward.lower(params, xs[0]).compile().cost_analysis() or {}
+    flops = cost.get("flops", 0.0)
+
+    # Force a scalar readback per call: under the axon relay,
+    # block_until_ready alone does not guarantee execution happened
+    # (buffers materialise lazily on fetch), which inflates throughput
+    # by orders of magnitude. float(out.mean()) forces the whole
+    # computation and costs one output-sized HBM read + scalar transfer.
+    acc = 0.0
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        acc += float(forward(params, xs[i % len(xs)]).mean())
+    dt = time.perf_counter() - t0
+    assert 0.0 < acc / iters < 1.0  # sigmoid outputs
+
+    out_voxels = 1
+    for s in output_shape:
+        out_voxels *= s
+    vox_per_sec = out_voxels * iters / dt
+    tflops_per_sec = flops * iters / dt / 1e12 if flops else None
+
+    result = {
+        "metric": "3d_affs_inference_output_voxels_per_sec_per_chip",
+        "value": round(vox_per_sec, 1),
+        "unit": "voxels/s",
+        "vs_baseline": round(vox_per_sec / REFERENCE_GPU_VOX_PER_SEC, 3),
+    }
+    if tflops_per_sec is not None:
+        result["tflops_per_sec"] = round(tflops_per_sec, 1)
+        result["ms_per_tile"] = round(dt / iters * 1000, 1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Setup models: parametric U-Net + sigmoid heads, instantiated from a
+net config dict (the contents of a ``net_config.json``).
+
+Mirrors the behaviour of the reference per-setup ``model.py`` files
+(reference ``bootstrapper/models/3d_affs/model.py:28-64``,
+``2d_mtlsd/model.py:28-81``): a single-decoder U-Net whose final
+features feed one 1x1-conv sigmoid head per output dataset.  2D setups
+consume ``adj_slices`` neighbouring sections as channels and can
+re-insert a z-axis at inference (``stack_infer``).
+
+Functional API: ``Model.init(key) -> params``, ``Model.apply(params, x)
+-> dict[name, array]``.  Arrays are channels-last (N, *spatial, C).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .unet import (
+    UNetConfig,
+    compute_output_shape,
+    conv_pass_apply,
+    conv_pass_init,
+    unet_apply,
+    unet_init,
+)
+from .zoo import get_net_config
+
+
+def head_dims(output_cfg: dict) -> int:
+    """Channel count of an output head; neighborhood wins over 'dims'."""
+    if "neighborhood" in output_cfg:
+        return len(output_cfg["neighborhood"])
+    return output_cfg["dims"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    net_config: dict
+    stack_infer: bool = False
+    compute_dtype: object = jnp.bfloat16
+
+    @classmethod
+    def from_setup(cls, name_or_path: str, **kw) -> "Model":
+        return cls(get_net_config(name_or_path), **kw)
+
+    # -- derived configuration --------------------------------------------
+
+    @property
+    def unet_config(self) -> UNetConfig:
+        nc = self.net_config
+        in_channels = nc.get("in_channels")
+        if in_channels is None:
+            # 'from' models: inputs are prediction channels, concatenated
+            in_channels = sum(i["dims"] for i in nc["inputs"].values())
+        elif "adj_slices" in nc:
+            in_channels = in_channels * nc["adj_slices"]
+        return UNetConfig(
+            in_channels=in_channels,
+            num_fmaps=nc["num_fmaps"],
+            fmap_inc_factor=nc["fmap_inc_factor"],
+            downsample_factors=nc["downsample_factors"],
+            kernel_size_down=nc["kernel_size_down"],
+            kernel_size_up=nc["kernel_size_up"],
+            num_fmaps_out=nc.get("num_fmaps_out"),
+            constant_upsample=True,
+            padding="valid",
+        )
+
+    @property
+    def dims(self) -> int:
+        return len(self.net_config["input_shape"])
+
+    @property
+    def input_shape(self) -> tuple:
+        return tuple(self.net_config["input_shape"])
+
+    @property
+    def output_shape(self) -> tuple:
+        return tuple(self.net_config["output_shape"])
+
+    @property
+    def output_names(self) -> list:
+        return list(self.net_config["outputs"])
+
+    def validate_shapes(self):
+        got = compute_output_shape(self.unet_config, self.input_shape)
+        want = self.output_shape
+        if tuple(got) != tuple(want):
+            raise ValueError(
+                f"net config inconsistent: input {self.input_shape} -> "
+                f"{got}, expected {want}"
+            )
+
+    # -- params ------------------------------------------------------------
+
+    def init(self, key) -> dict:
+        cfg = self.unet_config
+        keys = jax.random.split(key, 1 + len(self.net_config["outputs"]))
+        params = {"unet": unet_init(keys[0], cfg)}
+        ch = cfg.out_channels
+        for i, (name, out) in enumerate(self.net_config["outputs"].items()):
+            params[f"head_{name}"] = conv_pass_init(
+                keys[1 + i], ch, head_dims(out), [(1,) * cfg.dims]
+            )
+        return params
+
+    # -- forward -----------------------------------------------------------
+
+    def apply(self, params, x) -> dict:
+        """x: (N, *spatial, C) or, for 2D setups fed 3D tiles,
+        (N, adj, H, W, C) which is folded into channels."""
+        cfg = self.unet_config
+        if self.dims == 2 and x.ndim == 5:
+            # (n, d, h, w, c) -> (n, h, w, d*c)
+            n, d, h, w, c = x.shape
+            x = jnp.moveaxis(x, 1, 3).reshape(n, h, w, d * c)
+        z = unet_apply(params["unet"], x, cfg, self.compute_dtype)[0]
+        outs = {}
+        for name in self.net_config["outputs"]:
+            y = conv_pass_apply(
+                params[f"head_{name}"],
+                z,
+                [(1,) * cfg.dims],
+                activation="sigmoid",
+                compute_dtype=self.compute_dtype,
+            ).astype(jnp.float32)
+            if self.stack_infer and self.dims == 2:
+                y = y[:, None]  # re-insert z axis: (n, 1, h, w, c)
+            outs[name] = y
+        return outs
+
+
+def weighted_mse_loss(pred, target, weights):
+    """Masked MSE: mean over elements where weights > 0 (reference
+    ``models/3d_affs/model.py:67-91`` semantics, jit-friendly)."""
+    scale = weights * (pred - target) ** 2
+    count = jnp.count_nonzero(weights > 0)
+    return jnp.sum(scale) / jnp.maximum(count, 1).astype(scale.dtype)
+
+
+def multi_output_loss(preds: dict, targets: dict, weights: dict):
+    """Sum of weighted-MSE losses over all outputs (dual-head setups sum
+    their per-head losses, reference ``2d_mtlsd/model.py:102-115``)."""
+    return sum(
+        weighted_mse_loss(preds[k], targets[k], weights[k]) for k in preds
+    )

@@ -1,0 +1,417 @@
+"""TPU-native residual valid-convolution U-Net (2D & 3D, multi-head).
+
+Functional JAX implementation with the same *shape semantics* as the
+reference PyTorch U-Net (reference ``bootstrapper/models/3d_affs/unet.py``):
+
+- residual ConvPass: N valid convs with activations between, plus a 1x1
+  projection of the input, centre-cropped and added, final activation;
+- max-pool downsampling with divisibility checks;
+- upsampling (resize or transposed conv) followed by ``crop_to_factor``
+  so valid convs stay translation-equivariant at the upsample stride;
+- one shared encoder, ``num_heads`` decoders for multi-task setups.
+
+TPU-first design choices (deliberately different from the reference):
+
+- **channels-last layout** (``N, *spatial, C``): feature dims map onto
+  the 128-wide vector lanes / MXU columns, which is what XLA:TPU tiles
+  best;
+- **mixed precision**: parameters are fp32, convolutions run in
+  bfloat16 with fp32 accumulation (``preferred_element_type``) — the
+  MXU's native mode;
+- pure functions over parameter pytrees: ``init`` / ``apply`` compose
+  with ``jit`` / ``pjit`` / ``grad`` / ``shard_map`` with no framework
+  state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int
+    num_fmaps: int
+    fmap_inc_factor: int
+    downsample_factors: tuple  # ((z,y,x), ...)
+    kernel_size_down: tuple  # per level: (kernel, ...)
+    kernel_size_up: tuple  # per level below top: (kernel, ...)
+    activation: str = "relu"
+    num_heads: int = 1
+    num_fmaps_out: Optional[int] = None
+    constant_upsample: bool = True
+    padding: str = "valid"
+
+    def __post_init__(self):
+        object.__setattr__(
+            self,
+            "downsample_factors",
+            tuple(tuple(f) for f in self.downsample_factors),
+        )
+        object.__setattr__(
+            self,
+            "kernel_size_down",
+            tuple(tuple(tuple(k) for k in lvl) for lvl in self.kernel_size_down),
+        )
+        object.__setattr__(
+            self,
+            "kernel_size_up",
+            tuple(tuple(tuple(k) for k in lvl) for lvl in self.kernel_size_up),
+        )
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.downsample_factors) + 1
+
+    @property
+    def dims(self) -> int:
+        return len(self.kernel_size_down[0][0])
+
+    @property
+    def out_channels(self) -> int:
+        return self.num_fmaps_out or self.num_fmaps
+
+    @property
+    def crop_factors(self) -> tuple:
+        """Cumulative downsample products, bottom-up, per decoder level."""
+        factors = []
+        product = None
+        for f in self.downsample_factors[::-1]:
+            product = (
+                list(f)
+                if product is None
+                else [a * b for a, b in zip(f, product)]
+            )
+            factors.append(tuple(product))
+        return tuple(factors[::-1])
+
+
+_ACTIVATIONS = {
+    "relu": jax.nn.relu,
+    "gelu": jax.nn.gelu,
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+    "leaky_relu": jax.nn.leaky_relu,
+    None: lambda x: x,
+    "none": lambda x: x,
+}
+
+
+def _dim_numbers(dims: int):
+    if dims == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    if dims == 3:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    raise ValueError(f"{dims}D convolution not supported")
+
+
+def _conv(x, w, b, *, compute_dtype=jnp.bfloat16):
+    # bf16 in / bf16 out: the TPU MXU accumulates bf16 convolutions in
+    # fp32 internally, so no explicit preferred_element_type is needed
+    # (and JAX's conv grad rule rejects dtype-upcasting convs).
+    dims = w.ndim - 2
+    y = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(1,) * dims,
+        padding="VALID",
+        dimension_numbers=_dim_numbers(dims),
+    )
+    return y + b.astype(compute_dtype)
+
+
+def _center_crop(x, target_spatial: Sequence[int]):
+    """Centre-crop the spatial dims (all but first/last axes) of x."""
+    dims = len(target_spatial)
+    spatial = x.shape[1 : 1 + dims]
+    offsets = [(s - t) // 2 for s, t in zip(spatial, target_spatial)]
+    slices = (
+        (slice(None),)
+        + tuple(slice(o, o + t) for o, t in zip(offsets, target_spatial))
+        + (slice(None),)
+    )
+    return x[slices]
+
+
+def _conv_init(key, kernel, in_ch, out_ch, dtype=jnp.float32):
+    """He-uniform initialisation (fan_in from kernel volume)."""
+    fan_in = in_ch * math.prod(kernel)
+    bound = math.sqrt(1.0 / fan_in)
+    wkey, bkey = jax.random.split(key)
+    w = jax.random.uniform(
+        wkey, (*kernel, in_ch, out_ch), dtype, -bound, bound
+    ) * math.sqrt(3.0)
+    b = jax.random.uniform(bkey, (out_ch,), dtype, -bound, bound)
+    return {"w": w, "b": b}
+
+
+# ---------------------------------------------------------------------------
+# ConvPass
+# ---------------------------------------------------------------------------
+
+
+def conv_pass_init(key, in_ch, out_ch, kernel_sizes, dtype=jnp.float32):
+    keys = jax.random.split(key, len(kernel_sizes) + 1)
+    layers = []
+    ch = in_ch
+    for i, k in enumerate(kernel_sizes):
+        layers.append(_conv_init(keys[i], tuple(k), ch, out_ch, dtype))
+        ch = out_ch
+    dims = len(kernel_sizes[0])
+    residual = _conv_init(keys[-1], (1,) * dims, in_ch, out_ch, dtype)
+    return {"layers": layers, "residual": residual}
+
+
+def conv_pass_apply(
+    params, x, kernel_sizes, activation="relu", compute_dtype=jnp.bfloat16
+):
+    act = _ACTIVATIONS[activation]
+    out = x
+    n = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        out = _conv(out, layer["w"], layer["b"], compute_dtype=compute_dtype)
+        if i < n - 1:
+            out = act(out)
+    res = _conv(
+        x,
+        params["residual"]["w"],
+        params["residual"]["b"],
+        compute_dtype=compute_dtype,
+    )
+    dims = res.ndim - 2
+    res = _center_crop(res, out.shape[1 : 1 + dims])
+    return act(out + res)
+
+
+# ---------------------------------------------------------------------------
+# Down / Up
+# ---------------------------------------------------------------------------
+
+
+def max_pool(x, factors: Sequence[int]):
+    dims = len(factors)
+    for d in range(dims):
+        if x.shape[1 + d] % factors[d] != 0:
+            raise ValueError(
+                f"cannot downsample spatial shape {x.shape[1:1+dims]} "
+                f"by {tuple(factors)}: dim {d} not divisible"
+            )
+    window = (1, *factors, 1)
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jax.lax.max, window, window, "VALID"
+    )
+
+
+def upsample_resize(x, factors: Sequence[int]):
+    """Linear-interpolation upsampling (matches constant_upsample=True)."""
+    dims = len(factors)
+    new_spatial = tuple(s * f for s, f in zip(x.shape[1 : 1 + dims], factors))
+    return jax.image.resize(
+        x, (x.shape[0], *new_spatial, x.shape[-1]), method="linear"
+    ).astype(x.dtype)
+
+
+def upsample_transposed(x, w, b, factors, compute_dtype=jnp.bfloat16):
+    dims = len(factors)
+    y = jax.lax.conv_transpose(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        strides=tuple(factors),
+        padding="VALID",
+        dimension_numbers=_dim_numbers(dims),
+    )
+    return y + b.astype(compute_dtype)
+
+
+def crop_to_factor(x, factor, kernel_sizes):
+    """Crop so (spatial - conv_crop) is a multiple of ``factor``.
+
+    Keeps valid convs downstream translation-equivariant at the upsample
+    stride (same shape rule as the reference Upsample.crop_to_factor).
+    """
+    dims = len(factor)
+    spatial = x.shape[1 : 1 + dims]
+    conv_crop = tuple(
+        sum(k[d] - 1 for k in kernel_sizes) for d in range(dims)
+    )
+    ns = tuple(
+        (s - c) // f for s, c, f in zip(spatial, conv_crop, factor)
+    )
+    target = tuple(n * f + c for n, c, f in zip(ns, conv_crop, factor))
+    if target != spatial:
+        if not all(t > c for t, c in zip(target, conv_crop)):
+            raise ValueError(
+                f"feature map {spatial} too small for factor {factor} "
+                f"and convs {kernel_sizes}"
+            )
+        return _center_crop(x, target)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# U-Net
+# ---------------------------------------------------------------------------
+
+
+def unet_init(key, cfg: UNetConfig, dtype=jnp.float32):
+    nf, inc = cfg.num_fmaps, cfg.fmap_inc_factor
+    n = cfg.num_levels
+    keys = iter(jax.random.split(key, n + 2 * cfg.num_heads * (n - 1) + 1))
+
+    l_conv = []
+    for level in range(n):
+        in_ch = cfg.in_channels if level == 0 else nf * inc ** (level - 1)
+        l_conv.append(
+            conv_pass_init(
+                next(keys), in_ch, nf * inc**level, cfg.kernel_size_down[level], dtype
+            )
+        )
+
+    r_up, r_conv = [], []
+    for _ in range(cfg.num_heads):
+        ups, convs = [], []
+        for level in range(n - 1):
+            ch = nf * inc ** (level + 1)
+            if cfg.constant_upsample:
+                ups.append({})
+            else:
+                ups.append(
+                    _conv_init(
+                        next(keys),
+                        tuple(cfg.downsample_factors[level]),
+                        ch,
+                        ch,
+                        dtype,
+                    )
+                )
+            out_ch = (
+                cfg.num_fmaps_out
+                if cfg.num_fmaps_out is not None and level == 0
+                else nf * inc**level
+            )
+            convs.append(
+                conv_pass_init(
+                    next(keys),
+                    nf * inc**level + ch,
+                    out_ch,
+                    cfg.kernel_size_up[level],
+                    dtype,
+                )
+            )
+        r_up.append(ups)
+        r_conv.append(convs)
+
+    return {"l_conv": l_conv, "r_up": r_up, "r_conv": r_conv}
+
+
+def unet_apply(params, x, cfg: UNetConfig, compute_dtype=jnp.bfloat16):
+    """Run the U-Net. x: (N, *spatial, C). Returns list of per-head outputs."""
+    crop_factors = cfg.crop_factors
+    dims = cfg.dims
+
+    def rec(level, f_in):
+        i = cfg.num_levels - level - 1
+        f_left = conv_pass_apply(
+            params["l_conv"][i],
+            f_in,
+            cfg.kernel_size_down[i],
+            cfg.activation,
+            compute_dtype,
+        )
+        if level == 0:
+            return [f_left] * cfg.num_heads
+        g_in = max_pool(f_left, cfg.downsample_factors[i])
+        gs_out = rec(level - 1, g_in)
+        fs_out = []
+        for h in range(cfg.num_heads):
+            if cfg.constant_upsample:
+                g_up = upsample_resize(gs_out[h], cfg.downsample_factors[i])
+            else:
+                up = params["r_up"][h][i]
+                g_up = upsample_transposed(
+                    gs_out[h],
+                    up["w"],
+                    up["b"],
+                    cfg.downsample_factors[i],
+                    compute_dtype,
+                )
+            if cfg.padding == "valid":
+                g_up = crop_to_factor(
+                    g_up, crop_factors[i], cfg.kernel_size_up[i]
+                )
+            f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
+            f_right = jnp.concatenate([f_crop, g_up], axis=-1)
+            fs_out.append(
+                conv_pass_apply(
+                    params["r_conv"][h][i],
+                    f_right,
+                    cfg.kernel_size_up[i],
+                    cfg.activation,
+                    compute_dtype,
+                )
+            )
+        return fs_out
+
+    return rec(cfg.num_levels - 1, x.astype(compute_dtype))
+
+
+# ---------------------------------------------------------------------------
+# static shape algebra (for ROI bookkeeping without tracing)
+# ---------------------------------------------------------------------------
+
+
+def compute_output_shape(cfg: UNetConfig, input_shape: Sequence[int]) -> tuple:
+    """Spatial output shape of the U-Net for a spatial input shape."""
+
+    def conv_crop(shape, kernels):
+        for k in kernels:
+            shape = [s - (kk - 1) for s, kk in zip(shape, k)]
+            if any(s <= 0 for s in shape):
+                raise ValueError("input too small")
+        return shape
+
+    def down(shape, f):
+        if any(s % ff for s, ff in zip(shape, f)):
+            raise ValueError(
+                f"shape {shape} not divisible by {f} at downsample"
+            )
+        return [s // ff for s, ff in zip(shape, f)]
+
+    def rec(level, shape):
+        i = cfg.num_levels - level - 1
+        shape = conv_crop(shape, cfg.kernel_size_down[i])
+        if level == 0:
+            return shape
+        inner = rec(level - 1, down(shape, cfg.downsample_factors[i]))
+        up = [s * f for s, f in zip(inner, cfg.downsample_factors[i])]
+        if cfg.padding == "valid":
+            cf = cfg.crop_factors[i]
+            cc = [
+                sum(k[d] - 1 for k in cfg.kernel_size_up[i])
+                for d in range(len(up))
+            ]
+            up = [((s - c) // f) * f + c for s, c, f in zip(up, cc, cf)]
+        return conv_crop(up, cfg.kernel_size_up[i])
+
+    return tuple(rec(cfg.num_levels - 1, list(input_shape)))
+
+
+def min_input_shape(cfg: UNetConfig, start: Optional[Sequence[int]] = None):
+    """Smallest valid input shape >= start (elementwise search)."""
+    dims = cfg.dims
+    shape = list(start) if start is not None else [1] * dims
+    for _ in range(4096):
+        try:
+            compute_output_shape(cfg, shape)
+            return tuple(shape)
+        except ValueError:
+            shape = [s + 1 for s in shape]
+    raise RuntimeError("no valid input shape found")
