@@ -1,0 +1,280 @@
+"""Per-setup training pipelines: host sampling + one fused device program.
+
+Equivalent capability to the reference's per-setup gunpowder train graphs
+(reference ``bootstrapper/models/2d_mtlsd/train.py:100-219``,
+``3d_affs/train.py:74-187``), restructured TPU-first:
+
+- the host draws random crops from Zarr (``train/sampler.py``) with
+  labels read at *input* size so geometric augments apply identically
+  to raw and labels;
+- ONE jitted, vmapped device function then does everything else:
+  mirror/transpose, gated elastic deform, per-section shifts, the
+  intensity augment chain, boundary growth, affinity/LSD target
+  construction, masks and balance weights, and the [-1,1] raw scaling —
+  so the whole augment+target graph fuses into a single XLA program
+  per batch instead of a CPU worker pool.
+
+Setup semantics preserved:
+- 2D setups: raw is ``adj_slices`` neighbouring sections, targets are
+  computed on the centre slice only; affinity neighborhoods/sigmas get
+  a z-dim prepended (``2d_mtlsd/train.py:67-76``); batch 10, lr 1e-4.
+- 3D setups: batch 1, lr 0.5e-4.
+- augment probabilities follow the reference (deform/noise/intensity/
+  gamma/impulse/smooth p=0.5, defects on multi-slice inputs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import Coordinate
+from ..models.model import Model, head_dims
+from ..ops.affinities import (
+    affs_mask,
+    balance_weights,
+    grow_boundary,
+    seg_to_affs,
+)
+from ..ops.lsd import lsd_descriptors_downsampled
+from ..train.sampler import BatchLoader, RandomLocationSampler, Sample
+from .augment import (
+    defect_augment,
+    elastic_deform,
+    gamma_augment,
+    impulse_noise_augment,
+    intensity_augment,
+    noise_augment,
+    shift_augment,
+    simple_augment,
+    smooth_augment,
+)
+
+MAX_LABELS = 64
+
+
+def _gate(key, p, new, old):
+    """Apply-with-probability: both branches computed, selected by coin."""
+    coin = jax.random.bernoulli(key, p)
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(coin, n, o), new, old
+    )
+
+
+@dataclasses.dataclass
+class SetupSpec:
+    """Static training-relevant facts derived from a net config."""
+
+    net_config: dict
+    voxel_size: tuple
+
+    @property
+    def is_2d(self) -> bool:
+        return len(self.net_config["input_shape"]) == 2
+
+    @property
+    def adj_slices(self) -> int:
+        return self.net_config.get("adj_slices", 1)
+
+    @property
+    def input_tile(self) -> tuple:
+        """Voxel shape of the raw crop (3D, z = adj_slices for 2D nets)."""
+        s = self.net_config["input_shape"]
+        return (self.adj_slices, *s) if self.is_2d else tuple(s)
+
+    @property
+    def output_tile(self) -> tuple:
+        s = self.net_config["output_shape"]
+        return (1, *s) if self.is_2d else tuple(s)
+
+    @property
+    def batch_size(self) -> int:
+        return 10 if self.is_2d else 1
+
+    @property
+    def learning_rate(self) -> float:
+        return 1e-4 if self.is_2d else 0.5e-4
+
+    def output_spec(self, name):
+        out = dict(self.net_config["outputs"][name])
+        if self.is_2d:
+            if "neighborhood" in out:
+                out["neighborhood"] = [[0, *o] for o in out["neighborhood"]]
+            if "sigma" in out:
+                out["sigma"] = (0.01, out["sigma"], out["sigma"])
+        return out
+
+
+def make_device_transform(spec: SetupSpec):
+    """(key, raw, labels, mask) unbatched -> (input, targets, weights).
+
+    raw: input_tile float[0,1]; labels/mask: input-sized int/uint8.
+    """
+    vs = spec.voxel_size
+    out_tile = spec.output_tile
+    nc = spec.net_config
+
+    def crop_out(x):
+        slices = []
+        for s, t in zip(x.shape, out_tile):
+            o = (s - t) // 2
+            slices.append(slice(o, o + t))
+        return x[tuple(slices)]
+
+    def transform(key, raw, labels, mask):
+        keys = jax.random.split(key, 12)
+        labels = labels.astype(jnp.int32)
+        mask = mask.astype(jnp.float32)
+
+        # ---- geometric (applies to raw + labels + mask jointly) ----
+        arrays = {"raw": raw, "labels": labels, "mask": mask}
+        arrays = simple_augment(
+            keys[0], arrays, mirror_axes=(0, 1, 2), transpose_axes=(1, 2)
+        )
+        interp = {"raw": 1, "labels": 0, "mask": 0}
+        jitter = (
+            (0.0, 2.0, 2.0) if not spec.is_2d else (0.0, 2.0, 2.0)
+        )
+        deformed = elastic_deform(
+            keys[1], arrays, interp, jitter_sigma=jitter,
+            rotation_max=np.pi / 2, scale_range=(0.9, 1.1),
+        )
+        arrays = _gate(keys[2], 0.5, deformed, arrays)
+        if spec.adj_slices > 1:
+            shifted = shift_augment(keys[3], arrays, interp, max_shift=3,
+                                    prob=0.2)
+            arrays = _gate(keys[4], 0.5, shifted, arrays)
+        raw, labels, mask = arrays["raw"], arrays["labels"], arrays["mask"]
+
+        # ---- intensity chain on raw ----
+        raw = _gate(keys[5], 0.5, noise_augment(keys[5], raw, 0.05), raw)
+        raw = _gate(
+            keys[6], 0.5, intensity_augment(keys[6], raw, slab_axis=0), raw
+        )
+        raw = _gate(keys[7], 0.5, gamma_augment(keys[7], raw, slab_axis=0), raw)
+        raw = _gate(
+            keys[8], 0.5, impulse_noise_augment(keys[8], raw, 0.05), raw
+        )
+        raw = _gate(keys[9], 0.5, smooth_augment(keys[9], raw), raw)
+        raw = defect_augment(
+            keys[10], raw,
+            prob_missing=0.05 if spec.input_tile[0] > 1 else 0.0,
+            prob_low_contrast=0.1,
+        )
+
+        # ---- targets on the output crop ----
+        labels_out = crop_out(labels)
+        mask_out = crop_out(mask)
+
+        targets, weights = {}, {}
+        for name in nc["outputs"]:
+            out = spec.output_spec(name)
+            if "neighborhood" in out:  # affinities head
+                lab = labels_out
+                if out.get("grow_boundary", 0):
+                    lab = grow_boundary(
+                        lab, steps=out["grow_boundary"], only_xy=True,
+                        mask=mask_out,
+                    )
+                t = seg_to_affs(lab, out["neighborhood"])
+                m = affs_mask(mask_out, out["neighborhood"])
+                w = balance_weights(t, m, slab_axis=0)
+            else:  # LSD head
+                if spec.is_2d:
+                    # per-slice 2D LSDs of the centre slice (6 channels,
+                    # the reference's Add2DLSDs behaviour)
+                    t = lsd_descriptors_downsampled(
+                        labels_out[0],
+                        sigma=nc["outputs"][name]["sigma"],
+                        voxel_size=vs[1:],
+                        downsample=out.get("downsample", 1),
+                        max_labels=MAX_LABELS,
+                    )[:, None]  # re-insert z for uniform crop/squeeze below
+                else:
+                    t = lsd_descriptors_downsampled(
+                        labels_out,
+                        sigma=out["sigma"],
+                        voxel_size=vs,
+                        downsample=out.get("downsample", 1),
+                        max_labels=MAX_LABELS,
+                    )
+                m = jnp.broadcast_to(mask_out[None], t.shape)
+                w = m.astype(jnp.float32)
+            # channels-first -> channels-last (+ squeeze z for 2D nets)
+            t = jnp.moveaxis(t, 0, -1)
+            w = jnp.moveaxis(w, 0, -1)
+            if spec.is_2d:
+                t, w = t[0], w[0]
+            targets[name] = t.astype(jnp.float32)
+            weights[name] = w.astype(jnp.float32)
+
+        # ---- model input: [-1, 1] scaling, channel axis ----
+        net_in = (raw * 2.0 - 1.0)[..., None]
+        return net_in, targets, weights
+
+    return transform
+
+
+def make_batch_transform(spec: SetupSpec):
+    """Batched + jitted device transform: (key, batch_np) -> train batch."""
+    single = make_device_transform(spec)
+
+    @jax.jit
+    def batched(key, raw, labels, mask):
+        keys = jax.random.split(key, raw.shape[0])
+        net_in, targets, weights = jax.vmap(single)(keys, raw, labels, mask)
+        return {"input": net_in, "targets": targets, "weights": weights}
+
+    return batched
+
+
+class TrainingPipeline:
+    """End-to-end batch source for a real-data setup."""
+
+    def __init__(
+        self,
+        net_config: dict,
+        voxel_size,
+        samples: Sequence[Sample],
+        batch_size: Optional[int] = None,
+        min_masked: float = 0.05,
+        seed: Optional[int] = 0,
+        prefetch: int = 4,
+        num_threads: int = 2,
+    ):
+        self.spec = SetupSpec(net_config, tuple(voxel_size))
+        self.batch_size = batch_size or self.spec.batch_size
+        vs = Coordinate(voxel_size)
+        in_size = Coordinate(self.spec.input_tile) * vs
+        self.sampler = RandomLocationSampler(
+            samples,
+            input_size=in_size,
+            output_size=in_size,  # labels read at input size (geometric augs)
+            min_masked=min_masked,
+            seed=seed,
+        )
+        self.loader = BatchLoader(
+            self._draw, self.batch_size, prefetch, num_threads
+        )
+        self.transform = make_batch_transform(self.spec)
+        self.key = jax.random.PRNGKey(seed or 0)
+
+    def _draw(self):
+        d = self.sampler.sample()
+        # raw was read with zero context (input==output); keep as is
+        return {"raw": d["raw"], "labels": d["labels"], "mask": d["mask"]}
+
+    def next_batch(self):
+        batch = next(self.loader)
+        self.key, sub = jax.random.split(self.key)
+        return self.transform(
+            sub, batch["raw"], batch["labels"], batch["mask"]
+        )
+
+    def stop(self):
+        self.loader.stop()
