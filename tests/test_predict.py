@@ -1,0 +1,138 @@
+import numpy as np
+import jax
+import pytest
+
+from bootstrapper_tpu.core.arrays import prepare_ds
+from bootstrapper_tpu.core.geometry import Coordinate, Roi
+from bootstrapper_tpu.models import Model
+from bootstrapper_tpu.predict.scan import (
+    Predictor,
+    prepare_prediction_outputs,
+    tile_rois,
+)
+
+
+def test_tile_rois_exact_cover():
+    total = Roi((0, 0), (100, 60))
+    tiles = tile_rois(total, Coordinate(40, 30))
+    # tiles cover the roi and all are full-size
+    assert all(t.shape == Coordinate(40, 30) for t in tiles)
+    covered = np.zeros((100, 60), bool)
+    for t in tiles:
+        sl = t.to_slices()
+        covered[sl] = True
+    assert covered.all()
+    # edge tiles shifted inward, never out of bounds
+    assert all(total.contains(t) for t in tiles)
+
+
+def _tiny_3d_model():
+    nc = dict(Model.from_setup("3d_affs").net_config)
+    nc.update(
+        num_fmaps=2,
+        fmap_inc_factor=2,
+        input_shape=[12, 48, 48],
+        output_shape=[4, 8, 8],
+        shape_increase=[0, 0, 0],
+        downsample_factors=[[1, 2, 2]] * 2,
+        kernel_size_down=[[[1, 3, 3], [1, 3, 3]], [[3, 3, 3], [3, 3, 3]],
+                          [[3, 3, 3], [3, 3, 3]]],
+        kernel_size_up=[[[1, 3, 3], [1, 3, 3]], [[1, 3, 3], [1, 3, 3]]],
+    )
+    nc["outputs"] = {
+        "3d_affs": {
+            "dtype": "uint8",
+            "dims": 3,
+            "neighborhood": [[-1, 0, 0], [0, -1, 0], [0, 0, -1]],
+            "grow_boundary": 1,
+        }
+    }
+    m = Model(nc)
+    m.validate_shapes()
+    return m
+
+
+def test_predict_3d_roundtrip(tmp_path):
+    vs = (40, 4, 4)
+    shape = (16, 32, 32)
+    raw = prepare_ds(str(tmp_path / "t.zarr/raw"), shape, (0, 0, 0), vs, np.uint8)
+    rng = np.random.default_rng(0)
+    raw[raw.roi] = rng.integers(0, 255, shape, dtype=np.uint8)
+
+    model = _tiny_3d_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = Predictor(model, params, vs, batch_tiles=2)
+    outs = prepare_prediction_outputs(
+        str(tmp_path / "t.zarr"), model, raw.roi, vs, predictor=pred
+    )
+    stats = pred.predict(raw, outs)
+    assert stats["tiles"] > 0
+
+    affs = outs["3d_affs"].to_ndarray()
+    assert affs.shape == (3, 16, 32, 32)
+    # every voxel written (sigmoid of random net ~ never exactly 0 everywhere)
+    assert (affs > 0).mean() > 0.5
+
+
+def test_predict_deterministic_tiling(tmp_path):
+    """Overlapping edge tiles must produce consistent values (same model,
+    same input): re-running prediction gives identical output."""
+    vs = (40, 4, 4)
+    shape = (12, 40, 40)
+    raw = prepare_ds(str(tmp_path / "t.zarr/raw"), shape, (0, 0, 0), vs, np.uint8)
+    raw[raw.roi] = np.random.default_rng(1).integers(0, 255, shape, dtype=np.uint8)
+
+    model = _tiny_3d_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = Predictor(model, params, vs, batch_tiles=3)
+    outs1 = prepare_prediction_outputs(
+        str(tmp_path / "a.zarr"), model, raw.roi, vs, predictor=pred
+    )
+    pred.predict(raw, outs1)
+    outs2 = prepare_prediction_outputs(
+        str(tmp_path / "b.zarr"), model, raw.roi, vs, predictor=pred
+    )
+    pred.predict(raw, outs2)
+    np.testing.assert_array_equal(
+        outs1["3d_affs"].to_ndarray(), outs2["3d_affs"].to_ndarray()
+    )
+
+
+def test_predict_2d_stacked(tmp_path):
+    vs = (50, 8, 8)
+    shape = (6, 32, 32)
+    raw = prepare_ds(str(tmp_path / "t.zarr/raw"), shape, (0, 0, 0), vs, np.uint8)
+    raw[raw.roi] = np.random.default_rng(2).integers(0, 255, shape, dtype=np.uint8)
+
+    nc = dict(Model.from_setup("2d_affs").net_config)
+    nc.update(
+        num_fmaps=2,
+        fmap_inc_factor=2,
+        input_shape=[48, 48],
+        output_shape=[8, 8],
+        shape_increase=[0, 0],
+        downsample_factors=[[2, 2]] * 2,
+        kernel_size_down=[[[3, 3], [3, 3]]] * 3,
+        kernel_size_up=[[[3, 3], [3, 3]]] * 2,
+    )
+    nc["outputs"] = {
+        "2d_affs": {
+            "dtype": "uint8",
+            "dims": 2,
+            "neighborhood": [[-1, 0], [0, -1]],
+            "grow_boundary": 1,
+        }
+    }
+    model = Model(nc)
+    model.validate_shapes()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = Predictor(model, params, vs, batch_tiles=2)
+    assert pred.input_tile == (3, 48, 48)
+    assert pred.output_tile == (1, 8, 8)
+    outs = prepare_prediction_outputs(
+        str(tmp_path / "t.zarr"), model, raw.roi, vs, predictor=pred
+    )
+    pred.predict(raw, outs)
+    affs = outs["2d_affs"].to_ndarray()
+    assert affs.shape == (2, 6, 32, 32)
+    assert (affs > 0).mean() > 0.5
