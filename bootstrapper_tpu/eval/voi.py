@@ -1,0 +1,71 @@
+"""Variation of information + Rand scores from label contingency tables.
+
+Capability parity with ``funlib.evaluate.rand_voi`` as used by the
+reference GT metrics (reference ``bootstrapper/eval/compute_metrics.py:112-117``):
+``voi_split = H(seg | gt)`` (over-segmentation), ``voi_merge = H(gt | seg)``
+(under-segmentation), plus Rand precision/recall-style scores.
+
+Pure numpy: one ``np.unique`` over paired 64-bit keys builds the sparse
+contingency table; entropies follow. Voxels where gt == 0 are ignored
+(unlabelled), matching the common usage with masked ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def rand_voi(gt: np.ndarray, seg: np.ndarray, ignore_gt_zero: bool = True):
+    gt = np.asarray(gt).ravel().astype(np.uint64)
+    seg = np.asarray(seg).ravel().astype(np.uint64)
+    if ignore_gt_zero:
+        keep = gt != 0
+        gt, seg = gt[keep], seg[keep]
+    n = gt.size
+    if n == 0:
+        return {
+            "voi_split": 0.0, "voi_merge": 0.0,
+            "rand_split": 1.0, "rand_merge": 1.0,
+            "nvi_split": 0.0, "nvi_merge": 0.0,
+        }
+
+    # sparse contingency: counts of (gt, seg) pairs
+    pairs = (gt << np.uint64(32)) | (seg & np.uint64(0xFFFFFFFF))
+    pair_vals, pair_counts = np.unique(pairs, return_counts=True)
+    p_ij = pair_counts / n
+    gt_of_pair = (pair_vals >> np.uint64(32)).astype(np.int64)
+    seg_of_pair = (pair_vals & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+    gt_ids, gt_inv = np.unique(gt_of_pair, return_inverse=True)
+    seg_ids, seg_inv = np.unique(seg_of_pair, return_inverse=True)
+    p_i = np.zeros(len(gt_ids))
+    np.add.at(p_i, gt_inv, p_ij)
+    p_j = np.zeros(len(seg_ids))
+    np.add.at(p_j, seg_inv, p_ij)
+
+    def H(p):
+        p = p[p > 0]
+        return float(-(p * np.log2(p)).sum())
+
+    H_joint = H(p_ij)
+    H_gt = H(p_i)
+    H_seg = H(p_j)
+    voi_split = H_joint - H_gt   # H(seg | gt)
+    voi_merge = H_joint - H_seg  # H(gt | seg)
+
+    # Rand scores: sum of squared joint over squared marginals
+    sum_p_ij2 = float((p_ij**2).sum())
+    sum_p_i2 = float((p_i**2).sum())
+    sum_p_j2 = float((p_j**2).sum())
+    rand_split = sum_p_ij2 / sum_p_i2 if sum_p_i2 > 0 else 1.0
+    rand_merge = sum_p_ij2 / sum_p_j2 if sum_p_j2 > 0 else 1.0
+
+    total = H_joint if H_joint > 0 else 1.0
+    return {
+        "voi_split": voi_split,
+        "voi_merge": voi_merge,
+        "rand_split": rand_split,
+        "rand_merge": rand_merge,
+        "nvi_split": voi_split / total,
+        "nvi_merge": voi_merge / total,
+    }
