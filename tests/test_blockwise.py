@@ -1,0 +1,151 @@
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from bootstrapper_tpu.core.blockwise import (
+    Block,
+    BlockwiseTask,
+    run_blockwise,
+    run_blockwise_or_raise,
+)
+from bootstrapper_tpu.core.geometry import Coordinate, Roi
+
+
+def _task(**kw):
+    defaults = dict(
+        name="t",
+        total_roi=Roi((0, 0), (100, 100)),
+        write_size=Coordinate(30, 30),
+        context_neg=Coordinate(0, 0),
+        context_pos=Coordinate(0, 0),
+        process=lambda b: None,
+        num_workers=4,
+    )
+    defaults.update(kw)
+    return BlockwiseTask(**defaults)
+
+
+def test_block_grid_shrink_covers_total():
+    t = _task(fit="shrink")
+    blocks = t.blocks()
+    covered = np.zeros((100, 100), int)
+    for b in blocks:
+        covered[b.write_roi.to_slices()] += 1
+    assert (covered == 1).all()  # exact partition, no overlap
+
+
+def test_block_grid_overhang():
+    t = _task(fit="overhang")
+    blocks = t.blocks()
+    assert all(b.write_roi.shape == Coordinate(30, 30) for b in blocks)
+    ends = {tuple(b.write_roi.end) for b in blocks}
+    assert (120, 120) in ends  # last block overhangs
+
+
+def test_block_ids_stable_and_unique():
+    t = _task()
+    ids1 = [b.block_id for b in t.blocks()]
+    ids2 = [b.block_id for b in t.blocks()]
+    assert ids1 == ids2
+    assert len(set(ids1)) == len(ids1)
+
+
+def test_read_roi_context():
+    t = _task(context_neg=Coordinate(5, 5), context_pos=Coordinate(7, 7))
+    b = t.blocks()[0]
+    assert b.read_roi == b.write_roi.grow((5, 5), (7, 7))
+
+
+def test_all_blocks_processed():
+    seen = []
+    lock = threading.Lock()
+
+    def proc(b):
+        with lock:
+            seen.append(b.block_id)
+
+    t = _task(process=proc)
+    res = run_blockwise(t)
+    assert res.ok
+    assert sorted(seen) == sorted(b.block_id for b in t.blocks())
+
+
+def test_retries_then_success():
+    attempts = {}
+    lock = threading.Lock()
+
+    def flaky(b):
+        with lock:
+            attempts[b.block_id] = attempts.get(b.block_id, 0) + 1
+            if attempts[b.block_id] < 3:
+                raise RuntimeError("flaky")
+
+    t = _task(process=flaky, max_retries=5)
+    res = run_blockwise(t)
+    assert res.ok
+    assert all(v == 3 for v in attempts.values())
+
+
+def test_failure_escalates():
+    def bad(b):
+        raise RuntimeError("always fails")
+
+    t = _task(process=bad, max_retries=1)
+    res = run_blockwise(t)
+    assert not res.ok
+    with pytest.raises(RuntimeError):
+        run_blockwise_or_raise(_task(process=bad, max_retries=0))
+
+
+def test_conflict_waves_never_overlap_neighbors():
+    """With read_write_conflict, concurrently-running blocks must never
+    have overlapping read/write regions."""
+    active = set()
+    lock = threading.Lock()
+    violations = []
+
+    def proc(b):
+        with lock:
+            for other in active:
+                if b.read_roi.intersects(other):
+                    violations.append((b.block_id, other))
+            active.add(b.write_roi)
+        time.sleep(0.01)
+        with lock:
+            active.discard(b.write_roi)
+
+    t = _task(
+        process=proc,
+        context_neg=Coordinate(5, 5),
+        context_pos=Coordinate(5, 5),
+        read_write_conflict=True,
+        num_workers=8,
+    )
+    res = run_blockwise(t)
+    assert res.ok
+    assert violations == []
+
+
+def test_conflict_single_wave_when_no_context():
+    t = _task(read_write_conflict=True)
+    phases = t._phases(t.blocks())
+    assert len(phases) == 1
+
+
+def test_block_sharding():
+    t0 = _task(block_stride=2, block_offset=0)
+    t1 = _task(block_stride=2, block_offset=1)
+    ids0 = {b.block_id for b in t0.blocks()}
+    ids1 = {b.block_id for b in t1.blocks()}
+    all_ids = {b.block_id for b in _task().blocks()}
+    assert ids0 | ids1 == all_ids
+    assert not (ids0 & ids1)
+
+
+def test_skipped_blocks_counted():
+    t = _task(process=lambda b: "skipped" if b.block_id == 0 else None)
+    res = run_blockwise(t)
+    assert res.ok
+    assert res.skipped == 1
