@@ -1,0 +1,235 @@
+"""The ``bs`` command-line interface.
+
+Drop-in command surface of the reference CLI (reference
+``bootstrapper/cli.py:18-100``): ordered commands, aliases
+(``prep/pred/infer/seg/eval/refine``), and a ``bs run`` dispatcher that
+sniffs a TOML's keys to pick the right workflow.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import click
+
+from .styles import cli_echo
+
+logging.basicConfig(
+    level=os.environ.get("BS_LOGLEVEL", "INFO"),
+    format="%(asctime)s %(name)s %(levelname)s %(message)s",
+)
+
+ALIASES = {
+    "prep": "prepare",
+    "pred": "predict",
+    "infer": "predict",
+    "seg": "segment",
+    "eval": "evaluate",
+    "refine": "filter",
+}
+
+
+class CommandGroup(click.Group):
+    """Ordered commands + alias resolution."""
+
+    def list_commands(self, ctx):
+        return list(self.commands)
+
+    def get_command(self, ctx, name):
+        name = ALIASES.get(name, name)
+        return super().get_command(ctx, name)
+
+
+@click.group(cls=CommandGroup)
+@click.version_option(package_name=None, version="0.1.0", prog_name="bs")
+def cli():
+    """bootstrapper-tpu: TPU-native volumetric segmentation bootstrapping."""
+
+
+# ---------------------------------------------------------------------------
+# workflows
+# ---------------------------------------------------------------------------
+
+
+@cli.command()
+@click.option("--base-dir", "-b", default=".", help="project directory")
+@click.option("--volumes-toml", "-v", default=None,
+              help="TOML with a [volumes] table (skip the wizard)")
+@click.option("--models", "-m", multiple=True, help="model chain, in order")
+@click.option("--round-name", "-r", default="round_1")
+@click.option("--max-iterations", default=30001, type=int)
+@click.option("--segment-method", default="ws",
+              type=click.Choice(["ws", "mws", "cc"]))
+@click.option("--blockwise/--no-blockwise", default=False)
+@click.option("--gt-labels", default=None)
+@click.option("--gt-skeletons", default=None)
+def prepare(base_dir, volumes_toml, models, round_name, max_iterations,
+            segment_method, blockwise, gt_labels, gt_skeletons):
+    """Create round configs (volumes -> 01..05 stage TOMLs)."""
+    from ..configs import MODEL_NAMES, make_round_configs
+    from ..utils import tomlio
+    from .wizard import prompt_models, prompt_volumes
+
+    if volumes_toml:
+        volumes = tomlio.load(volumes_toml)
+        volumes = volumes.get("volumes", volumes)
+    else:
+        volumes = prompt_volumes()
+    model_names = list(models) if models else prompt_models(MODEL_NAMES)
+    round_dir = os.path.join(base_dir, round_name)
+    paths = make_round_configs(
+        round_dir,
+        volumes,
+        model_names,
+        max_iterations=max_iterations,
+        segment_method=segment_method,
+        blockwise=blockwise,
+        gt_labels=gt_labels,
+        gt_skeletons=gt_skeletons,
+    )
+    for stage, path in paths.items():
+        cli_echo(f"{stage}: {path}", "prepare")
+
+
+@cli.command()
+@click.argument("config_file", type=click.Path(exists=True))
+@click.option("--max-iterations", "-i", type=int, default=None)
+@click.option("--batch-size", type=int, default=None)
+def train(config_file, max_iterations, batch_size):
+    """Train a setup from a training config TOML."""
+    from ..workflows.train import run_training
+
+    result = run_training(
+        config_file, max_iterations=max_iterations, batch_size=batch_size
+    )
+    cli_echo(f"done: {result}", "train")
+
+
+@cli.command()
+@click.argument("config_file", type=click.Path(exists=True))
+@click.option("--volume", "-v", default=None)
+@click.option("--batch-tiles", "-b", type=int, default=1)
+@click.option("--roi-offset", nargs=3, type=int, default=None)
+@click.option("--roi-shape", nargs=3, type=int, default=None)
+def predict(config_file, volume, batch_tiles, roi_offset, roi_shape):
+    """Run chained prediction from a prediction config TOML."""
+    from ..workflows.predict import run_prediction
+
+    result = run_prediction(
+        config_file,
+        volume=volume,
+        batch_tiles=batch_tiles,
+        roi_offset=roi_offset or None,
+        roi_shape=roi_shape or None,
+    )
+    for k, v in result.items():
+        cli_echo(
+            f"{k}: {v['tiles']} tiles, {v['voxels_per_sec']/1e6:.2f} Mvox/s",
+            "predict",
+        )
+
+
+@cli.command()
+@click.argument("config_file", type=click.Path(exists=True))
+@click.option("--mode", "-m", default="ws",
+              type=click.Choice(["ws", "mws", "cc"]))
+@click.option("--volume", "-v", default=None)
+@click.option("--param", "-p", multiple=True, help="key=value overrides")
+def segment(config_file, mode, volume, param):
+    """Segment affinities (ws | mws | cc)."""
+    from ..workflows.segment import run_segmentation
+
+    result = run_segmentation(
+        config_file, mode=mode, volume=volume, param_overrides=param
+    )
+    for vol, segs in result.items():
+        for k, path in segs.items():
+            cli_echo(f"{vol} [{k}]: {path}", "segment")
+
+
+@cli.command()
+@click.argument("config_file", type=click.Path(exists=True))
+@click.option("--volume", "-v", default=None)
+def evaluate(config_file, volume):
+    """Evaluate segmentations (GT metrics and/or self-eval errors)."""
+    from ..workflows.evaluate import run_evaluation
+
+    result = run_evaluation(config_file, volume=volume)
+    for vol, res in result.items():
+        cli_echo(f"{vol}: {len(res)} segmentations evaluated", "evaluate")
+
+
+@cli.command()
+@click.argument("config_file", type=click.Path(exists=True))
+@click.option("--volume", "-v", default=None)
+def filter(config_file, volume):
+    """Filter the best segmentation into pseudo-GT for the next round."""
+    from ..workflows.filter import run_filter
+
+    result = run_filter(config_file, volume=volume)
+    for vol, res in result.items():
+        cli_echo(
+            f"{vol}: removed {res['removed_ids']} ids -> {res['labels']}",
+            "filter",
+        )
+
+
+@cli.command()
+@click.argument("config_files", nargs=-1, type=click.Path(exists=True))
+def run(config_files):
+    """Dispatch configs to the right workflow by their keys."""
+    from ..utils import tomlio
+
+    for config_file in config_files:
+        cfg = tomlio.load(config_file)
+        keys = set(cfg)
+        ctx = click.get_current_context()
+        if "train" in keys or "setup_dir" in keys:
+            ctx.invoke(train, config_file=config_file)
+        elif "predict" in keys or any(
+            "chain" in v for v in cfg.values() if isinstance(v, dict)
+        ):
+            ctx.invoke(predict, config_file=config_file)
+        elif "segment" in keys or any(
+            "affs_dataset" in v for v in cfg.values() if isinstance(v, dict)
+        ):
+            ctx.invoke(segment, config_file=config_file)
+        elif "evaluate" in keys or any(
+            "seg_datasets_prefix" in v and "out_seg_dataset_prefix" not in v
+            for v in cfg.values()
+            if isinstance(v, dict)
+        ):
+            ctx.invoke(evaluate, config_file=config_file)
+        elif "filter" in keys or any(
+            "out_seg_dataset_prefix" in v
+            for v in cfg.values()
+            if isinstance(v, dict)
+        ):
+            ctx.invoke(filter, config_file=config_file)
+        else:
+            raise click.UsageError(
+                f"cannot infer workflow from keys of {config_file}: {keys}"
+            )
+
+
+@cli.command()
+@click.argument("paths", nargs=-1)
+@click.option("--snapshot", "-s", is_flag=True, help="view a snapshot zarr")
+def view(paths, snapshot):
+    """Inspect Zarr datasets (neuroglancer when available, else a text
+    summary of shapes/dtypes/ROIs)."""
+    from .viewer import view_datasets
+
+    view_datasets(paths, snapshot=snapshot)
+
+
+# utils subgroup lives in its own module
+from .utils_cmds import utils  # noqa: E402
+
+cli.add_command(utils)
+
+
+if __name__ == "__main__":
+    cli()

@@ -117,23 +117,39 @@ class Predictor:
 
     def predict(
         self,
-        raw: Array,
+        raw,
         outputs: Dict[str, Array],
         roi: Optional[Roi] = None,
     ) -> dict:
         """Run inference over ``roi`` (default: all of ``raw``), writing
-        into the given output Arrays. Returns timing stats."""
+        into the given output Arrays. Returns timing stats.
+
+        ``raw`` may be one Array (image input, scaled to [-1,1] like the
+        reference predict scripts) or a list of Arrays whose channel
+        dims are concatenated (chained 'from' setups: prediction inputs
+        stay in [0,1], reference ``3d_affs_from_2d_mtlsd/predict.py:158-162``).
+        """
+        inputs = raw if isinstance(raw, (list, tuple)) else [raw]
+        is_image = "raw" in self.model.net_config.get("inputs", {"raw": {}})
         total = roi if roi is not None else next(iter(outputs.values())).roi
         tiles = tile_rois(total, self.output_size)
         B = self.batch_tiles
         t0 = time.perf_counter()
-        n_read = 0.0
 
         def read_tile(write_roi):
             read_roi = write_roi.grow(self.context, self.context)
-            x = raw.to_ndarray(read_roi, pad_mode="reflect")
-            x = normalize_raw(x)
-            return x[..., None]  # channel axis
+            chans = []
+            for arr in inputs:
+                x = normalize_raw(arr.to_ndarray(read_roi, pad_mode="reflect"))
+                if x.ndim == 3:  # no channel dim -> add one (channels last)
+                    x = x[..., None]
+                else:  # (C, z, y, x) storage -> channels last
+                    x = np.moveaxis(x, 0, -1)
+                chans.append(x)
+            x = np.concatenate(chans, axis=-1)
+            if is_image:
+                x = x * 2.0 - 1.0
+            return x
 
         written = []
         for i in range(0, len(tiles), B):

@@ -1,0 +1,72 @@
+"""Filter workflow driver: pick the best segmentation, emit pseudo-GT.
+
+Equivalent of the reference filter driver (reference
+``bootstrapper/filter.py:20-193``): choose the best segmentation from
+the evaluation JSON (min ``voi_sum``, max ``nerl``, or max error-mask
+``nonzero_ratio`` — ``filter.py:26-52``), then run the blockwise filter
+to produce the next round's labels + mask.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional
+
+from ..post.filter import filter_segmentation_blockwise
+from ..utils import tomlio
+
+logger = logging.getLogger(__name__)
+
+
+def get_best_seg_from_eval(eval_json: str) -> str:
+    with open(eval_json) as f:
+        results = json.load(f)
+    if not results:
+        raise ValueError(f"empty eval results {eval_json}")
+
+    def score(entry):
+        if "voi" in entry:
+            return ("voi", -(entry["voi"]["voi_sum"]))  # lower better
+        if "skeletons" in entry:
+            return ("nerl", entry["skeletons"]["nerl"])
+        if "pred_errors" in entry:
+            # lower error ratio is better
+            return ("err", -entry["pred_errors"]["nonzero_ratio"])
+        return ("none", 0.0)
+
+    best = max(results.items(), key=lambda kv: score(kv[1])[1])
+    logger.info("best segmentation: %s (%s)", best[0], score(best[1]))
+    return best[0]
+
+
+def run_filter(config_file: str, volume: Optional[str] = None) -> dict:
+    cfg_all = tomlio.load(config_file)
+    cfg_all = cfg_all.get("filter", cfg_all)
+    out = {}
+    for volume_name, cfg in cfg_all.items():
+        if volume is not None and volume_name != volume:
+            continue
+        if "seg_dataset" in cfg:
+            seg_path = cfg["seg_dataset"]
+        else:
+            eval_json = os.path.join(
+                cfg["eval_dir"], f"{volume_name}_results.json"
+            )
+            seg_path = get_best_seg_from_eval(eval_json)
+        res = filter_segmentation_blockwise(
+            seg_path,
+            cfg["out_seg_dataset_prefix"],
+            cfg["out_mask_dataset_prefix"],
+            error_mask_path=cfg.get("error_mask_dataset"),
+            dust_filter=cfg.get("dust_filter", 500),
+            remove_outliers=cfg.get("remove_outliers", True),
+            remove_z_fragments=cfg.get("remove_z_fragments", 10),
+            overlap_filter=cfg.get("overlap_filter", 0.0),
+            erode_out_mask=cfg.get("erode_out_mask", False),
+            num_workers=cfg.get("num_workers", 8),
+        )
+        res["source_segmentation"] = seg_path
+        out[volume_name] = res
+    return out

@@ -1,0 +1,105 @@
+"""Prediction workflow driver: TOML config -> chained tiled inference.
+
+Equivalent of the reference predict driver (reference
+``bootstrapper/predict.py:20-269``): per volume, run each setup in the
+chain (image model, then refiners consuming the previous outputs),
+preparing uint8 output Zarrs chunked to the inference tile.  The
+reference's multi-GPU daisy path maps to ``batch_tiles`` batching on
+one chip plus the blockwise engine's grid sharding for multi-process
+runs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+from ..core.arrays import open_ds
+from ..core.geometry import Coordinate, Roi
+from ..models.model import Model
+from ..predict.scan import Predictor, prepare_prediction_outputs
+from ..train.loop import latest_checkpoint, load_params
+from ..utils import tomlio
+
+logger = logging.getLogger(__name__)
+
+
+def _find_checkpoint(setup_dir: str, iteration) -> str:
+    path = os.path.join(setup_dir, f"model_checkpoint_{iteration}")
+    if os.path.exists(path):
+        return path
+    latest = latest_checkpoint(setup_dir)
+    if latest is None:
+        raise FileNotFoundError(
+            f"no checkpoint in {setup_dir} (wanted iteration {iteration})"
+        )
+    logger.warning(
+        "checkpoint iteration %s not found; using %s", iteration, latest
+    )
+    return latest
+
+
+def run_prediction(
+    config_file: str,
+    volume: Optional[str] = None,
+    batch_tiles: int = 1,
+    roi_offset=None,
+    roi_shape=None,
+) -> dict:
+    cfg = tomlio.load(config_file)
+    cfg = cfg.get("predict", cfg)
+    results = {}
+    for volume_name, vcfg in cfg.items():
+        if volume is not None and volume_name != volume:
+            continue
+        raw = open_ds(vcfg["raw_dataset"])
+        container = vcfg["output_container"]
+        roi = None
+        if roi_offset is not None:
+            roi = Roi(roi_offset, roi_shape)
+
+        prev_arrays = [raw]
+        for link in vcfg["chain"]:
+            setup_dir = link["setup_dir"]
+            model = Model.from_setup(setup_dir)
+            ckpt = _find_checkpoint(
+                setup_dir, link.get("checkpoint_iteration", "latest")
+            )
+            params = load_params(ckpt)
+            predictor = Predictor(
+                model,
+                params,
+                raw.voxel_size,
+                batch_tiles=batch_tiles,
+            )
+            # output roi: shrink by total context of the chain so far
+            in_roi = prev_arrays[0].roi
+            for a in prev_arrays[1:]:
+                in_roi = in_roi.intersect(a.roi)
+            out_roi = in_roi if roi is None else roi
+            # keep out roi at least one tile big
+            min_size = predictor.output_size
+            if any(
+                s < m for s, m in zip(out_roi.shape, min_size)
+            ):
+                raise ValueError(
+                    f"roi {out_roi} smaller than one output tile {min_size}"
+                )
+            outputs = prepare_prediction_outputs(
+                container,
+                model,
+                out_roi,
+                raw.voxel_size,
+                dataset_prefix=link["output_prefix"] + "/",
+                predictor=predictor,
+            )
+            stats = predictor.predict(prev_arrays, outputs, out_roi)
+            logger.info(
+                "%s / %s: %d tiles, %.2f Mvox/s",
+                volume_name, os.path.basename(setup_dir),
+                stats["tiles"], stats["voxels_per_sec"] / 1e6,
+            )
+            results[f"{volume_name}/{link['output_prefix']}"] = stats
+            prev_arrays = list(outputs.values())
+    return results

@@ -1,0 +1,169 @@
+"""Training workflow driver: TOML config -> training loop.
+
+Equivalent of the reference train driver + per-setup train scripts
+(reference ``bootstrapper/train.py:11-134``,
+``models/3d_affs/train.py:21-187``) without the subprocess boundary:
+the setup is config, the model is the parametric JAX U-Net, and the
+loop is the jitted train step.  Keeps the reference's operational
+surface: ``model_checkpoint_{iter}`` files, periodic snapshot Zarrs of
+batches (viewable with ``bs view -s``), auto-resume from the latest
+checkpoint, loss logging.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..core.arrays import prepare_ds
+from ..models.model import Model
+from ..pipeline.synthetic import SyntheticTrainingPipeline
+from ..pipeline.training import SetupSpec, TrainingPipeline
+from ..train.loop import (
+    create_train_state,
+    latest_checkpoint,
+    load_checkpoint,
+    make_train_step,
+    save_checkpoint,
+)
+from ..train.sampler import Sample
+from ..utils import tomlio
+
+logger = logging.getLogger(__name__)
+
+
+def setup_train(config_file: str, **overrides) -> dict:
+    """Load + validate a training config; apply kwarg overrides (the
+    reference writes a ``*_modified.toml`` on overrides — same here)."""
+    cfg = tomlio.load(config_file)
+    cfg = cfg.get("train", cfg)
+    cfg.update({k: v for k, v in overrides.items() if v is not None})
+    if overrides:
+        mod = config_file.replace(".toml", "_modified.toml")
+        tomlio.dump({"train": cfg}, mod)
+    if "setup_dir" not in cfg:
+        raise ValueError("train config needs setup_dir")
+    return cfg
+
+
+def run_training(config_file: str, **overrides) -> dict:
+    import jax
+
+    cfg = setup_train(config_file, **overrides)
+    setup_dir = cfg["setup_dir"]
+    setup_name = os.path.basename(os.path.normpath(setup_dir))
+    voxel_size = cfg.get("voxel_size", [1, 1, 1])
+    max_iterations = int(cfg.get("max_iterations", 30001))
+    save_every = int(cfg.get("save_checkpoints_every", 5000))
+    snap_every = int(cfg.get("save_snapshots_every", 1000))
+    batch_size = cfg.get("batch_size")
+
+    model = Model.from_setup(setup_dir)
+    model.validate_shapes()
+    spec = SetupSpec(model.net_config, tuple(voxel_size))
+
+    if "_from_" in setup_name or "samples" not in cfg:
+        pipeline = SyntheticTrainingPipeline(
+            model.net_config,
+            voxel_size=voxel_size,
+            batch_size=batch_size or 1,
+        )
+        lr = 1e-4
+    else:
+        samples = [
+            Sample.open(s["raw"], s["labels"], s.get("mask"))
+            for s in cfg["samples"]
+        ]
+        pipeline = TrainingPipeline(
+            model.net_config,
+            voxel_size,
+            samples,
+            batch_size=batch_size,
+            min_masked=cfg.get("min_masked", 0.05),
+        )
+        lr = spec.learning_rate
+
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(cfg.get("seed", 0)),
+        cfg.get("learning_rate", lr),
+    )
+    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    # auto-resume (reference Lightning behaviour,
+    # models/3d_affs_from_2d_mtlsd/train.py:343-344)
+    ckpt = latest_checkpoint(setup_dir)
+    start_iter = 0
+    if ckpt:
+        state = load_checkpoint(ckpt)
+        start_iter = int(state.step)
+        logger.info("resuming from %s (iteration %d)", ckpt, start_iter)
+
+    log_dir = os.path.join(setup_dir, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(log_dir, "loss.jsonl")
+    snap_dir = os.path.join(setup_dir, "snapshots")
+
+    t0 = time.perf_counter()
+    losses = []
+    try:
+        with open(log_path, "a") as logf:
+            for it in range(start_iter, max_iterations):
+                batch = pipeline.next_batch()
+                state, metrics = step_fn(state, batch)
+                if (it + 1) % 10 == 0 or it + 1 == max_iterations:
+                    loss = float(metrics["loss"])
+                    losses.append(loss)
+                    logf.write(
+                        json.dumps(
+                            {
+                                "iteration": it + 1,
+                                "loss": loss,
+                                "seconds": time.perf_counter() - t0,
+                            }
+                        )
+                        + "\n"
+                    )
+                    logf.flush()
+                if (it + 1) % save_every == 0 or it + 1 == max_iterations:
+                    path = save_checkpoint(setup_dir, state, it + 1)
+                    logger.info("saved %s", path)
+                if snap_every and (it + 1) % snap_every == 0:
+                    _save_snapshot(snap_dir, it + 1, batch, model, state)
+    finally:
+        pipeline.stop()
+    return {
+        "iterations": max_iterations,
+        "final_loss": losses[-1] if losses else None,
+        "checkpoint": latest_checkpoint(setup_dir),
+    }
+
+
+def _save_snapshot(snap_dir, iteration, batch, model, state):
+    """Write a batch (+ current predictions) as a snapshot Zarr
+    (``models/3d_affs/train.py:171-181`` capability)."""
+    try:
+        preds = model.apply(state.params, batch["input"])
+        container = os.path.join(snap_dir, f"batch_{iteration}.zarr")
+        arrays = {"input": np.asarray(batch["input"])}
+        for name in batch["targets"]:
+            arrays[f"gt_{name}"] = np.asarray(batch["targets"][name])
+            arrays[f"weights_{name}"] = np.asarray(batch["weights"][name])
+            arrays[f"pred_{name}"] = np.asarray(preds[name])
+        for name, arr in arrays.items():
+            # store (b, *spatial, c) -> channels-first per sample 0
+            a = np.moveaxis(arr[0], -1, 0).astype(np.float32)
+            ds = prepare_ds(
+                os.path.join(container, name),
+                a.shape,
+                (0,) * (a.ndim - 1),
+                (1,) * (a.ndim - 1),
+                np.float32,
+            )
+            ds[ds.roi] = a
+    except Exception as e:  # snapshots must never kill training
+        logger.warning("snapshot failed: %r", e)
