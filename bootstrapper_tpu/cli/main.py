@@ -111,9 +111,11 @@ def train(config_file, max_iterations, batch_size):
 @click.argument("config_file", type=click.Path(exists=True))
 @click.option("--volume", "-v", default=None)
 @click.option("--batch-tiles", "-b", type=int, default=1)
+@click.option("--sharded", "-s", is_flag=True,
+              help="shard tiles spatially over all devices (ICI halos)")
 @click.option("--roi-offset", nargs=3, type=int, default=None)
 @click.option("--roi-shape", nargs=3, type=int, default=None)
-def predict(config_file, volume, batch_tiles, roi_offset, roi_shape):
+def predict(config_file, volume, batch_tiles, sharded, roi_offset, roi_shape):
     """Run chained prediction from a prediction config TOML."""
     from ..workflows.predict import run_prediction
 
@@ -121,6 +123,7 @@ def predict(config_file, volume, batch_tiles, roi_offset, roi_shape):
         config_file,
         volume=volume,
         batch_tiles=batch_tiles,
+        sharded=sharded,
         roi_offset=roi_offset or None,
         roi_shape=roi_shape or None,
     )

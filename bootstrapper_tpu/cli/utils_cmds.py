@@ -105,6 +105,19 @@ def merge(in_path, out_path, pairs, num_workers):
 
 
 @utils.command()
+@click.argument("torch_ckpt")
+@click.argument("setup_dir")
+@click.argument("out_path")
+def convert_ckpt(torch_ckpt, setup_dir, out_path):
+    """Convert a reference PyTorch checkpoint into this framework's
+    format (raw state_dict or Lightning .ckpt both accepted)."""
+    from ..models.convert_torch import convert_checkpoint
+
+    path = convert_checkpoint(torch_ckpt, setup_dir, out_path)
+    cli_echo(f"converted -> {path}", "utils")
+
+
+@utils.command()
 @click.argument("setup_name")
 @click.argument("setup_dir")
 def download_ckpts(setup_name, setup_dir):

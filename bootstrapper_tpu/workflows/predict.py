@@ -44,6 +44,7 @@ def run_prediction(
     config_file: str,
     volume: Optional[str] = None,
     batch_tiles: int = 1,
+    sharded: bool = False,
     roi_offset=None,
     roi_shape=None,
 ) -> dict:
@@ -67,12 +68,24 @@ def run_prediction(
                 setup_dir, link.get("checkpoint_iteration", "latest")
             )
             params = load_params(ckpt)
-            predictor = Predictor(
-                model,
-                params,
-                raw.voxel_size,
-                batch_tiles=batch_tiles,
-            )
+            if sharded and model.dims == 3:
+                import jax
+
+                from ..predict.sharded import ShardedPredictor
+
+                predictor = ShardedPredictor(
+                    model, params, raw.voxel_size
+                )
+                logger.info(
+                    "sharded inference over %d devices", len(jax.devices())
+                )
+            else:
+                predictor = Predictor(
+                    model,
+                    params,
+                    raw.voxel_size,
+                    batch_tiles=batch_tiles,
+                )
             # output roi: shrink by total context of the chain so far
             in_roi = prev_arrays[0].roi
             for a in prev_arrays[1:]:

@@ -1,0 +1,73 @@
+import networkx as nx
+import numpy as np
+import pytest
+
+from bootstrapper_tpu.core.arrays import prepare_ds
+from bootstrapper_tpu.eval.thresholds import evaluate_thresholds
+from bootstrapper_tpu.post.rag import RagDB
+
+
+@pytest.fixture
+def setup(tmp_path):
+    """Fragments volume: 4 fragments in a row; RAG merges 1-2 at 0.1,
+    3-4 at 0.2, 2-3 at 0.8. GT: fragments {1,2} and {3,4} are objects."""
+    frags = np.zeros((2, 4, 8), np.uint64)
+    frags[:, :, :2] = 1
+    frags[:, :, 2:4] = 2
+    frags[:, :, 4:6] = 3
+    frags[:, :, 6:] = 4
+    fd = prepare_ds(str(tmp_path / "t.zarr/frags"), frags.shape, (0, 0, 0), (1, 1, 1), np.uint64)
+    fd[fd.roi] = frags
+
+    gt = np.zeros_like(frags)
+    gt[:, :, :4] = 10
+    gt[:, :, 4:] = 20
+    gd = prepare_ds(str(tmp_path / "t.zarr/gt"), gt.shape, (0, 0, 0), (1, 1, 1), np.uint64)
+    gd[gd.roi] = gt
+
+    rag = RagDB(str(tmp_path / "rag.db"), mode="w")
+    rag.write_nodes([1, 2, 3, 4], np.array(
+        [[1, 2, 1], [1, 2, 3], [1, 2, 5], [1, 2, 7.0]]
+    ))
+    rag.write_edges([1, 3, 2], [2, 4, 3], [0.1, 0.2, 0.8])
+
+    g = nx.Graph()
+    for i, x in enumerate([0.5, 2.5, 3.5]):  # skeleton inside object 10
+        g.add_node(f"a{i}", position_z=0.0, position_y=2.0, position_x=x,
+                   skeleton_id="a")
+    g.add_edge("a0", "a1")
+    g.add_edge("a1", "a2")
+    for i, x in enumerate([4.5, 6.5]):
+        g.add_node(f"b{i}", position_z=0.0, position_y=2.0, position_x=x,
+                   skeleton_id="b")
+    g.add_edge("b0", "b1")
+    skel_path = str(tmp_path / "skels.graphml")
+    nx.write_graphml(g, skel_path)
+    return {"frags": fd, "gt": gd, "rag": rag, "skels": skel_path}
+
+
+def test_voi_sweep_best_threshold(setup):
+    out = evaluate_thresholds(
+        setup["frags"], setup["rag"], [0.05, 0.5, 0.9],
+        gt_labels=setup["gt"],
+    )
+    # at 0.5: merges 1-2 and 3-4 only -> perfect
+    assert out["best_voi"]["threshold"] == 0.5
+    assert out["thresholds"][0.5]["voi"]["voi_sum"] == pytest.approx(0, abs=1e-9)
+    # at 0.05 nothing merged -> split error; at 0.9 all merged -> merge error
+    assert out["thresholds"][0.05]["voi"]["voi_split"] > 0
+    assert out["thresholds"][0.9]["voi"]["voi_merge"] > 0
+
+
+def test_skeleton_sweep(setup):
+    out = evaluate_thresholds(
+        setup["frags"], setup["rag"], [0.05, 0.5, 0.9],
+        gt_skeletons=setup["skels"],
+    )
+    assert out["best_nerl"]["threshold"] == 0.5
+    assert out["thresholds"][0.5]["skeletons"]["nerl"] == pytest.approx(1.0)
+    # at 0.9 both skeletons share one segment -> merge detected
+    assert out["thresholds"][0.9]["skeletons"]["merge_count"] >= 1
+    assert out["thresholds"][0.9]["edits"]["splits_needed"] >= 1
+    # at 0.05 skeleton a spans fragments 1,2 -> split
+    assert out["thresholds"][0.05]["skeletons"]["split_count"] >= 1
