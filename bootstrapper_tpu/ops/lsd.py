@@ -198,3 +198,20 @@ def lsd_descriptors_2d_stack(seg3d, sigma, voxel_size_yx=None, **kw):
     (the reference's Add2DLSDs behaviour, ``gp/add_2d_lsds.py:8-131``)."""
     fn = partial(lsd_descriptors, sigma=sigma, voxel_size=voxel_size_yx, **kw)
     return jnp.moveaxis(jax.vmap(fn)(jnp.asarray(seg3d)), 0, 1)
+
+
+def calc_max_padding(output_size, voxel_size, sigma, mode: str = "shrink"):
+    """Max upstream context needed for LSD targets: 3*sigma plus the xy
+    diagonal half, snapped to the voxel grid (the reference's padding
+    helper, ``bootstrapper/gp/calc_max_padding.py:5-30``)."""
+    from ..core.geometry import Coordinate, Roi
+
+    voxel_size = Coordinate(voxel_size)
+    method_padding = Coordinate((0, 3 * sigma, 3 * sigma))
+    diag = np.sqrt(output_size[1] ** 2 + output_size[2] ** 2)
+    max_padding = Roi(
+        (Coordinate([i // 2 for i in [output_size[0], diag, diag]])
+         + method_padding),
+        (0,) * 3,
+    ).snap_to_grid(voxel_size, mode=mode)
+    return max_padding.begin
