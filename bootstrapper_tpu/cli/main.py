@@ -97,12 +97,15 @@ def prepare(base_dir, volumes_toml, models, round_name, max_iterations,
 @click.argument("config_file", type=click.Path(exists=True))
 @click.option("--max-iterations", "-i", type=int, default=None)
 @click.option("--batch-size", type=int, default=None)
-def train(config_file, max_iterations, batch_size):
+@click.option("--mesh", is_flag=True, default=None,
+              help="shard the train step over all devices (data+space)")
+def train(config_file, max_iterations, batch_size, mesh):
     """Train a setup from a training config TOML."""
     from ..workflows.train import run_training
 
     result = run_training(
-        config_file, max_iterations=max_iterations, batch_size=batch_size
+        config_file, max_iterations=max_iterations, batch_size=batch_size,
+        mesh=mesh,
     )
     cli_echo(f"done: {result}", "train")
 

@@ -92,7 +92,18 @@ def run_training(config_file: str, **overrides) -> dict:
         model, jax.random.PRNGKey(cfg.get("seed", 0)),
         cfg.get("learning_rate", lr),
     )
-    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    raw_step = make_train_step(model, tx)
+    place = None
+    if cfg.get("mesh", False) and len(jax.devices()) > 1:
+        # data-parallel (+ spatial) sharding over all devices — the
+        # reference's Lightning-DDP analog (pjit, not NCCL processes)
+        from ..train.loop import make_mesh, shard_train_step
+
+        mesh = make_mesh()
+        step_fn, place = shard_train_step(raw_step, mesh)
+        logger.info("sharded training over mesh %s", mesh.shape)
+    else:
+        step_fn = jax.jit(raw_step, donate_argnums=(0,))
 
     # auto-resume (reference Lightning behaviour,
     # models/3d_affs_from_2d_mtlsd/train.py:343-344)
@@ -112,8 +123,17 @@ def run_training(config_file: str, **overrides) -> dict:
     losses = []
     try:
         with open(log_path, "a") as logf:
+            placed_state = False
             for it in range(start_iter, max_iterations):
                 batch = pipeline.next_batch()
+                if place is not None:
+                    # state is placed once (stays resident & donated);
+                    # every batch is re-placed with its mesh sharding
+                    if not placed_state:
+                        state, batch = place(state, batch)
+                        placed_state = True
+                    else:
+                        _, batch = place(None, batch)
                 state, metrics = step_fn(state, batch)
                 if (it + 1) % 10 == 0 or it + 1 == max_iterations:
                     loss = float(metrics["loss"])
