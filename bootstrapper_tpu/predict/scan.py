@@ -151,13 +151,38 @@ class Predictor:
                 x = x * 2.0 - 1.0
             return x
 
-        written = []
-        for i in range(0, len(tiles), B):
-            batch_tiles = tiles[i : i + B]
+        def read_batch(batch_tiles):
             arrs = [read_tile(t) for t in batch_tiles]
             while len(arrs) < B:
                 arrs.append(arrs[-1])  # pad batch; extra results discarded
-            x = jnp.asarray(np.stack(arrs))
+            return np.stack(arrs)
+
+        batches = [tiles[i : i + B] for i in range(0, len(tiles), B)]
+        # read-ahead thread: host Zarr reads overlap device compute
+        import queue as _queue
+        import threading as _threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def _reader():
+            try:
+                for bt in batches:
+                    q.put((bt, read_batch(bt)))
+                q.put(None)
+            except Exception as e:
+                q.put(e)
+
+        _threading.Thread(target=_reader, daemon=True).start()
+
+        write_futures = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            batch_tiles, arrs = item
+            x = jnp.asarray(arrs)
             outs = self._forward(self.params, x)
             outs = {k: np.asarray(v) for k, v in outs.items()}
             for j, wroi in enumerate(batch_tiles):
@@ -169,16 +194,20 @@ class Predictor:
                     if dest_roi.empty:
                         continue
                     sl = tuple(
-                        slice(
-                            int(a), int(a + s)
-                        )
+                        slice(int(a), int(a + s))
                         for a, s in zip(
                             (dest_roi.begin - wroi.begin) / self.voxel_size,
                             Coordinate(dest_roi.shape) / self.voxel_size,
                         )
                     )
-                    arr[dest_roi] = pred[(slice(None),) + sl][:dims]
-            written.extend(batch_tiles)
+                    data = np.ascontiguousarray(
+                        pred[(slice(None),) + sl][:dims]
+                    )
+                    # async TensorStore write; futures drained at the end
+                    ssl = (slice(None),) + arr._spatial_slices(dest_roi)
+                    write_futures.append(arr.store[ssl].write(data))
+        for f in write_futures:
+            f.result()
         dt = time.perf_counter() - t0
         out_voxels = sum(
             np.prod(np.asarray(t.shape) // np.asarray(self.voxel_size))
