@@ -53,7 +53,25 @@ def cli():
 # ---------------------------------------------------------------------------
 
 
-@cli.command()
+class PrepareGroup(click.Group):
+    """`bs prepare` runs the full wizard when invoked bare, or a
+    subcommand for one piece (reference PrepareGroup behaviour,
+    ``bootstrapper/prepare.py:22-385``)."""
+
+    def parse_args(self, ctx, args):
+        if args and args[0] not in self.commands and not args[0].startswith("-"):
+            raise click.UsageError(f"unknown prepare subcommand {args[0]!r}")
+        if not args or args[0].startswith("-"):
+            args = ["round"] + list(args)
+        return super().parse_args(ctx, args)
+
+
+@cli.group(cls=PrepareGroup, invoke_without_command=False)
+def prepare():
+    """Create configs: a full round, or one piece (volumes/model/...)."""
+
+
+@prepare.command("round")
 @click.option("--base-dir", "-b", default=".", help="project directory")
 @click.option("--volumes-toml", "-v", default=None,
               help="TOML with a [volumes] table (skip the wizard)")
@@ -65,8 +83,8 @@ def cli():
 @click.option("--blockwise/--no-blockwise", default=False)
 @click.option("--gt-labels", default=None)
 @click.option("--gt-skeletons", default=None)
-def prepare(base_dir, volumes_toml, models, round_name, max_iterations,
-            segment_method, blockwise, gt_labels, gt_skeletons):
+def prepare_round(base_dir, volumes_toml, models, round_name, max_iterations,
+                  segment_method, blockwise, gt_labels, gt_skeletons):
     """Create round configs (volumes -> 01..05 stage TOMLs)."""
     from ..configs import MODEL_NAMES, make_round_configs
     from ..utils import tomlio
@@ -91,6 +109,46 @@ def prepare(base_dir, volumes_toml, models, round_name, max_iterations,
     )
     for stage, path in paths.items():
         cli_echo(f"{stage}: {path}", "prepare")
+
+
+@prepare.command("volumes")
+@click.argument("name")
+@click.argument("raw_path")
+@click.option("--labels", default=None)
+@click.option("--labels-mask", default=None)
+@click.option("--out-container", "-o", default=None)
+@click.option("--voxel-size", "-vs", nargs=3, type=int, default=(1, 1, 1))
+@click.option("--make-masks", is_flag=True)
+@click.option("--append-to", "-a", default="volumes.toml",
+              help="volumes TOML to create/extend")
+def prepare_volumes(name, raw_path, labels, labels_mask, out_container,
+                    voxel_size, make_masks, append_to):
+    """Ingest one volume (any format) and record it in a volumes TOML."""
+    from ..data.volumes import prepare_volume
+    from ..utils import tomlio
+
+    vol = prepare_volume(
+        name, raw_path, labels, labels_mask, out_container,
+        voxel_size, make_raw_mask_ds=False,
+        make_labels_mask_ds=make_masks,
+    )
+    existing = {}
+    if os.path.exists(append_to):
+        existing = tomlio.load(append_to).get("volumes", {})
+    existing.update(vol)
+    tomlio.dump({"volumes": existing}, append_to)
+    cli_echo(f"volume {name!r} -> {append_to}", "prepare")
+
+
+@prepare.command("model")
+@click.argument("model_names", nargs=-1, required=True)
+@click.option("--parent-dir", "-p", default="setups")
+def prepare_model(model_names, parent_dir):
+    """Materialise setup dirs (net_config.json) for the given models."""
+    from ..configs import setup_models
+
+    for d in setup_models(list(model_names), parent_dir):
+        cli_echo(d, "prepare")
 
 
 @cli.command()
