@@ -1,26 +1,32 @@
-"""Multi-chip sharded inference: the volume split over a device mesh.
+"""Multi-chip sharded inference: a batch of tiles split over the mesh.
 
 The reference scales inference with one GPU-pinned worker subprocess
-per device pulling daisy blocks (reference ``bootstrapper/predict.py:27-50``,
-``models/3d_affs/predict.py:133-141``).  The TPU-native replacement
-shards a *super-tile* spatially over the mesh instead:
+per device pulling daisy blocks over TCP (reference
+``bootstrapper/predict.py:27-50``, ``models/3d_affs/predict.py:133-141``).
+The TPU-native replacement is one SPMD program: each step stacks
+``n_devices`` tiles into a batch laid out with
+``NamedSharding P('space', ...)`` — one tile per chip, no cross-chip
+communication in the forward, perfect scaling, and bitwise-identical
+per-tile semantics to the single-chip path (same tile shape, so the
+valid-conv/crop arithmetic is untouched).
 
-- mesh: 1D ``('space',)`` over N chips;
-- the input super-tile (one batched read covering N output tiles along
-  y) is laid out with ``NamedSharding P(None, None, 'space', None, None)``;
-- the U-Net forward is jitted with these shardings — XLA/GSPMD inserts
-  the **halo exchanges for every valid convolution as collective
-  permutes over ICI**, so neighbouring chips trade exactly the overlap
-  rows instead of each re-reading them from storage;
-- outputs come back sharded, are fetched once, and written to Zarr.
+Why batch-of-tiles and not spatial sharding for inference: a spatially
+sharded super-tile needs the sharded input dim divisible by the mesh
+and, with this U-Net's centre-crops, mesh-dependent output alignment;
+tile batching has neither constraint and removes all collectives from
+the inference path.  (Spatial GSPMD sharding — XLA inserting halo
+collective-permutes for the convs — is exercised by the *training*
+step over the ('data','space') mesh, see ``train/loop.py`` and
+``__graft_entry__.dryrun_multichip``.)
 
-This turns the reference's "N workers x redundant halo reads" into
-"one sharded program x ICI halo traffic" — the direct spatial analog
-of sequence/context parallelism.
+Host Zarr reads run in a read-ahead thread and writes are async
+TensorStore futures, so chips stay busy while IO streams.
 """
 
 from __future__ import annotations
 
+import queue as _queue
+import threading as _threading
 import time
 from typing import Dict, Optional, Sequence
 
@@ -37,7 +43,7 @@ from .scan import tile_rois
 
 
 class ShardedPredictor:
-    """Tiled inference with the y-axis sharded over a device mesh."""
+    """Tiled inference with the tile batch sharded over a device mesh."""
 
     def __init__(
         self,
@@ -48,8 +54,6 @@ class ShardedPredictor:
         shape_increase: Optional[Sequence[int]] = None,
         compute_dtype=jnp.bfloat16,
     ):
-        if model.dims != 3:
-            raise ValueError("sharded prediction supports 3D setups")
         self.model = model
         self.voxel_size = Coordinate(voxel_size)
         devices = list(devices if devices is not None else jax.devices())
@@ -60,18 +64,16 @@ class ShardedPredictor:
         inc = (
             list(shape_increase)
             if shape_increase is not None
-            else list(nc.get("shape_increase", [0, 0, 0]))
+            else list(nc.get("shape_increase", [0] * len(nc["input_shape"])))
         )
         in_shape = [a + b for a, b in zip(nc["input_shape"], inc)]
         out_shape = [a + b for a, b in zip(nc["output_shape"], inc)]
-        # super-tile: N output tiles stacked along y
-        self.out_tile = (
-            out_shape[0], out_shape[1] * self.n_dev, out_shape[2]
-        )
-        context = [(i - o) // 2 for i, o in zip(in_shape, out_shape)]
-        self.in_tile = tuple(
-            o + 2 * c for o, c in zip(self.out_tile, context)
-        )
+        if model.dims == 2:
+            adj = nc.get("adj_slices", 1)
+            in_shape = [adj, *in_shape]
+            out_shape = [1, *out_shape]
+        self.in_tile = tuple(in_shape)
+        self.out_tile = tuple(out_shape)
         self.input_size = Coordinate(self.in_tile) * self.voxel_size
         self.output_size = Coordinate(self.out_tile) * self.voxel_size
         self.context = (self.input_size - self.output_size) / 2
@@ -82,15 +84,16 @@ class ShardedPredictor:
             ),
             NamedSharding(self.mesh, P()),
         )
-        self.in_sharding = NamedSharding(
-            self.mesh, P(None, None, "space", None, None)
-        )
-        out_sharding = NamedSharding(
-            self.mesh, P(None, None, "space", None, None)
+        self.in_sharding = NamedSharding(self.mesh, P("space"))
+
+        model2 = Model(
+            model.net_config,
+            stack_infer=(model.dims == 2),
+            compute_dtype=compute_dtype,
         )
 
         def forward(params, x):
-            outs = model.apply(params, x)
+            outs = model2.apply(params, x)
             return {
                 k: jnp.round(jnp.clip(v, 0, 1) * 255).astype(jnp.uint8)
                 for k, v in outs.items()
@@ -99,7 +102,7 @@ class ShardedPredictor:
         self._forward = jax.jit(
             forward,
             in_shardings=(NamedSharding(self.mesh, P()), self.in_sharding),
-            out_shardings=out_sharding,
+            out_shardings=NamedSharding(self.mesh, P("space")),
         )
 
     def predict(
@@ -112,9 +115,11 @@ class ShardedPredictor:
         is_image = "raw" in self.model.net_config.get("inputs", {"raw": {}})
         total = roi if roi is not None else next(iter(outputs.values())).roi
         tiles = tile_rois(total, self.output_size)
+        B = self.n_dev
         t0 = time.perf_counter()
-        for wroi in tiles:
-            read_roi = wroi.grow(self.context, self.context)
+
+        def read_tile(write_roi):
+            read_roi = write_roi.grow(self.context, self.context)
             chans = []
             for arr in inputs:
                 x = normalize_raw(
@@ -122,26 +127,59 @@ class ShardedPredictor:
                 )
                 x = x[..., None] if x.ndim == 3 else np.moveaxis(x, 0, -1)
                 chans.append(x)
-            x = np.concatenate(chans, axis=-1)[None]
+            x = np.concatenate(chans, axis=-1)
             if is_image:
                 x = x * 2.0 - 1.0
-            x = jax.device_put(jnp.asarray(x), self.in_sharding)
+            return x
+
+        batches = [tiles[i : i + B] for i in range(0, len(tiles), B)]
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+
+        def _reader():
+            try:
+                for bt in batches:
+                    arrs = [read_tile(t) for t in bt]
+                    while len(arrs) < B:
+                        arrs.append(arrs[-1])
+                    q.put((bt, np.stack(arrs)))
+                q.put(None)
+            except Exception as e:
+                q.put(e)
+
+        _threading.Thread(target=_reader, daemon=True).start()
+
+        write_futures = []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            batch_tiles, arrs = item
+            x = jax.device_put(jnp.asarray(arrs), self.in_sharding)
             outs = self._forward(self.params, x)
-            outs = {k: np.asarray(v)[0] for k, v in outs.items()}
-            for name, arr in outputs.items():
-                pred = np.moveaxis(outs[name], -1, 0)
-                dims = head_dims(self.model.net_config["outputs"][name])
-                dest = wroi.intersect(arr.roi)
-                if dest.empty:
-                    continue
-                sl = tuple(
-                    slice(int(a), int(a + s))
-                    for a, s in zip(
-                        (dest.begin - wroi.begin) / self.voxel_size,
-                        Coordinate(dest.shape) / self.voxel_size,
+            outs = {k: np.asarray(v) for k, v in outs.items()}
+            for j, wroi in enumerate(batch_tiles):
+                for name, arr in outputs.items():
+                    pred = np.moveaxis(outs[name][j], -1, 0)
+                    dims = head_dims(self.model.net_config["outputs"][name])
+                    dest = wroi.intersect(arr.roi)
+                    if dest.empty:
+                        continue
+                    sl = tuple(
+                        slice(int(a), int(a + s))
+                        for a, s in zip(
+                            (dest.begin - wroi.begin) / self.voxel_size,
+                            Coordinate(dest.shape) / self.voxel_size,
+                        )
                     )
-                )
-                arr[dest] = pred[(slice(None),) + sl][:dims]
+                    data = np.ascontiguousarray(
+                        pred[(slice(None),) + sl][:dims]
+                    )
+                    ssl = (slice(None),) + arr._spatial_slices(dest)
+                    write_futures.append(arr.store[ssl].write(data))
+        for f in write_futures:
+            f.result()
         dt = time.perf_counter() - t0
         out_voxels = len(tiles) * int(np.prod(self.out_tile))
         return {

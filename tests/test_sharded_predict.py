@@ -1,6 +1,4 @@
-"""Sharded inference on the virtual 8-device CPU mesh: results must
-match the single-device predictor exactly (same valid convs, GSPMD just
-inserts halo exchanges)."""
+"""Sharded inference on the virtual 8-device CPU mesh."""
 
 import jax
 import jax.numpy as jnp
@@ -40,9 +38,8 @@ def _tiny_model():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")
-def test_sharded_forward_matches_unsharded():
-    """The y-sharded jit must produce the same values as an unsharded
-    run of the identical super-tile (GSPMD halo exchange correctness)."""
+def test_sharded_batch_matches_unsharded():
+    """Batch-of-tiles sharding must not change per-tile results."""
     n_dev = 4
     model = _tiny_model()
     params = model.init(jax.random.PRNGKey(0))
@@ -50,10 +47,10 @@ def test_sharded_forward_matches_unsharded():
         model, params, (1, 1, 1), devices=jax.devices()[:n_dev],
         compute_dtype=jnp.float32,
     )
-    assert sharded.out_tile == (4, 8 * n_dev, 8)
+    assert sharded.in_tile == (12, 48, 48)
 
     x = jax.random.uniform(
-        jax.random.PRNGKey(1), (1, *sharded.in_tile, 1), jnp.float32
+        jax.random.PRNGKey(1), (n_dev, *sharded.in_tile, 1), jnp.float32
     )
     ref_params = jax.tree_util.tree_map(
         lambda p: jnp.asarray(p, jnp.float32), params
@@ -61,31 +58,23 @@ def test_sharded_forward_matches_unsharded():
 
     @jax.jit
     def plain(params, x):
-        out = model.apply(params, x)["3d_affs"]
-        return jnp.round(jnp.clip(out, 0, 1) * 255).astype(jnp.uint8)
+        return model.apply(params, x)["3d_affs"]
 
-    a = np.asarray(plain(ref_params, x))
-    b = np.asarray(sharded._forward(sharded.params, x)["3d_affs"])
-    diff = np.abs(a.astype(int) - b.astype(int))
-    # identical math modulo float reassociation under the GSPMD
-    # partitioning (empirically +-2/255, uniformly distributed)
-    assert diff.max() <= 3
-    assert diff.mean() < 0.25
-    # a halo bug would concentrate large errors at the shard seams
-    # (y = 8, 16, 24); check seam rows are no worse than the rest
-    per_y = diff[0].max(axis=(0, 2, 3))
-    seams = per_y[[7, 8, 15, 16, 23, 24]].max()
-    assert seams <= max(2, per_y.max())
+    a = np.asarray(plain(ref_params, x), np.float64)
+    b = (
+        np.asarray(sharded._forward(sharded.params, x)["3d_affs"], np.float64)
+        / 255.0
+    )
+    # float closeness: partitioned executables reassociate reductions;
+    # uint8 rounding sits on knife edges for random params. A structural
+    # (halo / batch-mixing) bug would produce O(0.1) errors.
+    assert np.abs(a - b).max() < 0.01
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")
-def test_sharded_volume_close_to_single_device(tmp_path):
-    """Whole-volume sharded prediction vs the single-device predictor.
-
-    Values may differ slightly: tile sizes differ and linear upsampling
-    clamps at tile edges (the reference's trilinear Upsample has the
-    same tile-size sensitivity), so only closeness is required.
-    """
+def test_sharded_volume_matches_single_device(tmp_path):
+    """Whole-volume sharded prediction equals the single-device
+    predictor (same tile shape -> same arithmetic)."""
     n_dev = 4
     vs = (1, 1, 1)
     shape = (16, 40, 40)
@@ -115,5 +104,5 @@ def test_sharded_volume_close_to_single_device(tmp_path):
     a = outs1["3d_affs"].to_ndarray().astype(int)
     b = outs2["3d_affs"].to_ndarray().astype(int)
     diff = np.abs(a - b)
-    assert diff.mean() < 1.0
-    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+    assert diff.max() <= 2  # uint8 rounding jitter only
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
