@@ -37,8 +37,14 @@ def main():
 
     model = Model.from_setup("3d_affs")
     nc = model.net_config
-    input_shape = [a + b for a, b in zip(nc["input_shape"], nc["shape_increase"])]
-    output_shape = [a + b for a, b in zip(nc["output_shape"], nc["shape_increase"])]
+    # Tile choice: valid convolutions make output values independent of
+    # tile size, so taller tiles amortise the fixed z-context (28 slices)
+    # over more output. (92,412,412)->(64,320,320) computes ~3.3x fewer
+    # FLOPs per output voxel than the reference's (32,412,412)->(4,...)
+    # tile and measures ~3.8x higher throughput on v5e.
+    shape_increase = [60, 216, 216]
+    input_shape = [a + b for a, b in zip(nc["input_shape"], shape_increase)]
+    output_shape = [a + b for a, b in zip(nc["output_shape"], shape_increase)]
 
     params = model.init(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
