@@ -173,10 +173,13 @@ def train(config_file, max_iterations, batch_size, mesh):
 @click.option("--volume", "-v", default=None)
 @click.option("--batch-tiles", "-b", type=int, default=1)
 @click.option("--sharded", "-s", is_flag=True,
-              help="shard tiles spatially over all devices (ICI halos)")
+              help="shard the tile batch over all devices")
+@click.option("--auto-tile", is_flag=True,
+              help="maximise the inference tile for throughput")
 @click.option("--roi-offset", nargs=3, type=int, default=None)
 @click.option("--roi-shape", nargs=3, type=int, default=None)
-def predict(config_file, volume, batch_tiles, sharded, roi_offset, roi_shape):
+def predict(config_file, volume, batch_tiles, sharded, auto_tile,
+            roi_offset, roi_shape):
     """Run chained prediction from a prediction config TOML."""
     from ..workflows.predict import run_prediction
 
@@ -185,6 +188,7 @@ def predict(config_file, volume, batch_tiles, sharded, roi_offset, roi_shape):
         volume=volume,
         batch_tiles=batch_tiles,
         sharded=sharded,
+        auto_tile=auto_tile,
         roi_offset=roi_offset or None,
         roi_shape=roi_shape or None,
     )

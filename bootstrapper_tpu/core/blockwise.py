@@ -70,6 +70,14 @@ class BlockwiseTask:
     # shard the grid across cooperating processes/hosts (store-mediated)
     block_stride: int = 1
     block_offset: int = 0
+    # race detection: audit that no concurrently-running blocks overlap
+    # write/write (always a bug) or read/write (when conflicts declared);
+    # violations fail the task (the reference has no such check — its
+    # correctness was by construction only, SURVEY §5)
+    audit: bool = False
+    # fault injection: probability that a block raises on each attempt
+    # (exercises the retry ledger; used by tests/chaos runs)
+    inject_fault_rate: float = 0.0
 
     def blocks(self) -> list:
         """Enumerate the write grid with block ids and grown read ROIs."""
@@ -160,12 +168,48 @@ def run_blockwise(
     errors: list = []
     lock = threading.Lock()
     last_log = [t0]
+    active: dict = {}  # block_id -> (read_roi, write_roi), audit mode
+    violations: list = []
+    fault_rng = np.random.default_rng(0)
+
+    def _audit_enter(block):
+        with lock:
+            for bid, (r, w) in active.items():
+                if block.write_roi.intersects(w):
+                    violations.append(
+                        ("write/write", block.block_id, bid)
+                    )
+                if task.read_write_conflict and (
+                    block.read_roi.intersects(w)
+                    or r.intersects(block.write_roi)
+                ):
+                    violations.append(
+                        ("read/write", block.block_id, bid)
+                    )
+            active[block.block_id] = (block.read_roi, block.write_roi)
+
+    def _audit_exit(block):
+        with lock:
+            active.pop(block.block_id, None)
 
     def run_block(block: Block):
         nonlocal done, failed, skipped
         for attempt in range(task.max_retries + 1):
             try:
-                result = task.process(block)
+                if task.inject_fault_rate > 0:
+                    with lock:
+                        roll = fault_rng.uniform()
+                    if roll < task.inject_fault_rate:
+                        raise RuntimeError(
+                            f"injected fault (block {block.block_id})"
+                        )
+                if task.audit:
+                    _audit_enter(block)
+                try:
+                    result = task.process(block)
+                finally:
+                    if task.audit:
+                        _audit_exit(block)
                 with lock:
                     if result == "skipped":
                         skipped += 1
@@ -200,6 +244,11 @@ def run_blockwise(
         with ThreadPoolExecutor(max_workers=task.num_workers) as pool:
             list(pool.map(run_block, phase))
 
+    if task.audit and violations:
+        raise RuntimeError(
+            f"blockwise race audit failed for {task.name!r}: "
+            f"{len(violations)} overlap(s), e.g. {violations[:3]}"
+        )
     return TaskResult(
         task.name,
         len(blocks),

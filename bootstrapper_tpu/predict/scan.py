@@ -34,6 +34,60 @@ from ..models.model import Model, head_dims
 from ..train.sampler import normalize_raw
 
 
+def auto_shape_increase(
+    net_config: dict,
+    volume_vox_shape,
+    max_input_voxels: int = 16_000_000,
+) -> list:
+    """Pick a shape_increase maximising output voxels per FLOP.
+
+    Valid convolutions make outputs independent of tile size, so larger
+    tiles amortise the fixed context. Strategy: grow z first (the
+    z-context dominates: e.g. 28 of 32 input slices are context for 4
+    output slices in the 3d_affs config), then y/x in steps of the
+    pooling factor product; stay inside the volume and the input-voxel
+    budget (~16M voxels measured near-optimal on v5e).
+    """
+    base_in = list(net_config["input_shape"])
+    base_out = list(net_config["output_shape"])
+    dims = len(base_in)
+    if dims != 3:
+        return list(net_config.get("shape_increase", [0] * dims))
+    vol = list(volume_vox_shape)[-3:]
+    factors = net_config["downsample_factors"]
+    step = [1, 1, 1]
+    for f in factors:
+        step = [a * b for a, b in zip(step, f)]
+
+    inc = [0, 0, 0]
+
+    def input_voxels(inc):
+        return int(np.prod([i + s for i, s in zip(base_in, inc)]))
+
+    def fits(inc):
+        out = [o + s for o, s in zip(base_out, inc)]
+        inp = [i + s for i, s in zip(base_in, inc)]
+        return (
+            all(o <= v for o, v in zip(out, vol))
+            and input_voxels(inc) <= max_input_voxels
+        )
+
+    # grow z (any integer step is conv-valid when z isn't pooled)
+    z_step = step[0]
+    while True:
+        cand = [inc[0] + max(z_step, 4), inc[1], inc[2]]
+        if base_out[0] + cand[0] > 64 or not fits(cand):
+            break
+        inc = cand
+    # grow y and x together in pooling-product steps
+    while True:
+        cand = [inc[0], inc[1] + step[1], inc[2] + step[2]]
+        if not fits(cand):
+            break
+        inc = cand
+    return inc
+
+
 def tile_rois(total: Roi, tile_size: Coordinate) -> list:
     """Cover ``total`` with full-sized tiles; edge tiles shift inward.
 

@@ -45,6 +45,7 @@ def run_prediction(
     volume: Optional[str] = None,
     batch_tiles: int = 1,
     sharded: bool = False,
+    auto_tile: bool = False,
     roi_offset=None,
     roi_shape=None,
 ) -> dict:
@@ -68,13 +69,22 @@ def run_prediction(
                 setup_dir, link.get("checkpoint_iteration", "latest")
             )
             params = load_params(ckpt)
+            shape_increase = None
+            if auto_tile:
+                from ..predict.scan import auto_shape_increase
+
+                shape_increase = auto_shape_increase(
+                    model.net_config, raw.spatial_shape
+                )
+                logger.info("auto tile: shape_increase=%s", shape_increase)
             if sharded and model.dims == 3:
                 import jax
 
                 from ..predict.sharded import ShardedPredictor
 
                 predictor = ShardedPredictor(
-                    model, params, raw.voxel_size
+                    model, params, raw.voxel_size,
+                    shape_increase=shape_increase,
                 )
                 logger.info(
                     "sharded inference over %d devices", len(jax.devices())
@@ -84,6 +94,7 @@ def run_prediction(
                     model,
                     params,
                     raw.voxel_size,
+                    shape_increase=shape_increase,
                     batch_tiles=batch_tiles,
                 )
             # output roi: shrink by total context of the chain so far

@@ -149,3 +149,48 @@ def test_skipped_blocks_counted():
     res = run_blockwise(t)
     assert res.ok
     assert res.skipped == 1
+
+
+def test_fault_injection_exercises_retries():
+    t = _task(inject_fault_rate=0.3, max_retries=10)
+    res = run_blockwise(t)
+    assert res.ok  # retries absorb injected faults
+
+
+def test_fault_injection_certain_failure():
+    t = _task(inject_fault_rate=1.0, max_retries=2)
+    res = run_blockwise(t)
+    assert not res.ok
+    assert res.failed == res.total_blocks
+
+
+def test_audit_passes_for_clean_task():
+    t = _task(
+        audit=True,
+        read_write_conflict=True,
+        context_neg=Coordinate(5, 5),
+        context_pos=Coordinate(5, 5),
+    )
+    res = run_blockwise(t)
+    assert res.ok
+
+
+def test_audit_catches_engineered_race():
+    """Declare zero context (single wave) but read beyond the write
+    block inside process: the audit must flag the overlap."""
+    def proc(b):
+        time.sleep(0.005)
+
+    t = _task(
+        audit=True,
+        read_write_conflict=True,
+        process=proc,
+        # context makes read ROIs overlap neighbours...
+        context_neg=Coordinate(5, 5),
+        context_pos=Coordinate(5, 5),
+    )
+    # ...but force a single wave by bypassing phase separation
+    t._phases = lambda blocks: [blocks]
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="race audit"):
+        run_blockwise(t)

@@ -136,3 +136,27 @@ def test_predict_2d_stacked(tmp_path):
     affs = outs["2d_affs"].to_ndarray()
     assert affs.shape == (2, 6, 32, 32)
     assert (affs > 0).mean() > 0.5
+
+
+def test_auto_shape_increase():
+    from bootstrapper_tpu.models import Model
+    from bootstrapper_tpu.predict.scan import auto_shape_increase
+
+    nc = Model.from_setup("3d_affs").net_config
+    # big volume: z grows to 64 output slices, y/x grow to the budget
+    inc = auto_shape_increase(nc, (200, 2000, 2000))
+    in_shape = [a + b for a, b in zip(nc["input_shape"], inc)]
+    out_shape = [a + b for a, b in zip(nc["output_shape"], inc)]
+    assert out_shape[0] == 64
+    import numpy as np
+    assert np.prod(in_shape) <= 16_000_000
+    # the chosen shape must be conv-valid
+    from bootstrapper_tpu.models import Model as M
+    from bootstrapper_tpu.models.unet import compute_output_shape
+    m = M.from_setup("3d_affs")
+    assert list(compute_output_shape(m.unet_config, in_shape)) == out_shape
+
+    # small volume: tile must not exceed it
+    inc2 = auto_shape_increase(nc, (40, 150, 150))
+    out2 = [a + b for a, b in zip(nc["output_shape"], inc2)]
+    assert all(o <= v for o, v in zip(out2, (40, 150, 150)))
