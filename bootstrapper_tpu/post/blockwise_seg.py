@@ -72,6 +72,8 @@ def extract_fragments_blockwise(
     fragments_in_xy: bool = True,
     min_seed_distance: int = 10,
     filter_fragments: float = 0.05,
+    epsilon_agglomerate: float = 0.0,
+    replace_sections: Optional[Sequence[int]] = None,
     mws_kwargs: Optional[dict] = None,
     num_workers: int = 8,
     roi: Optional[Roi] = None,
@@ -100,6 +102,38 @@ def extract_fragments_blockwise(
         else:
             raise ValueError(method)
         frags = _filter_fragments_by_affinity(frags, a, filter_fragments)
+
+        if epsilon_agglomerate > 0:
+            # pre-merge fragments up to a small threshold (reference
+            # frags.py:120-142): apply merges from the mean-scoring
+            # hierarchy below epsilon
+            _, _, _, merges = native.agglomerate(
+                frags, a[:3], threshold=epsilon_agglomerate,
+                merge_function="mean",
+            )
+            if len(merges):
+                # resolve merge chains transitively (b -> a where a may
+                # itself merge later)
+                parent: dict = {}
+
+                def find(x):
+                    while x in parent:
+                        x = parent[x]
+                    return x
+
+                for ma, mb, _s in merges:
+                    parent[int(mb)] = find(int(ma))
+                olds = np.array(list(parent), np.uint64)
+                news = np.array([find(int(o)) for o in olds], np.uint64)
+                frags = native.replace_values(frags, olds, news)
+
+        if replace_sections:
+            # zero fragments in globally-indexed defective z-sections
+            # (reference frags.py:145-167)
+            z0 = int((read.begin[0] - affs.roi.begin[0]) / vs[0])
+            for local_z in range(frags.shape[0]):
+                if z0 + local_z in replace_sections:
+                    frags[local_z] = 0
 
         # crop to write roi
         wroi = block.write_roi.intersect(total)
@@ -304,6 +338,8 @@ def waterz_pipeline_blockwise(
     fragments_in_xy: bool = True,
     min_seed_distance: int = 10,
     filter_fragments: float = 0.05,
+    epsilon_agglomerate: float = 0.0,
+    replace_sections=None,
     num_workers: int = 8,
     roi: Optional[Roi] = None,
 ) -> Dict[float, str]:
@@ -329,7 +365,10 @@ def waterz_pipeline_blockwise(
         affs, fragments, rag, block_shape, context_voxels,
         method="ws", fragments_in_xy=fragments_in_xy,
         min_seed_distance=min_seed_distance,
-        filter_fragments=filter_fragments, num_workers=num_workers,
+        filter_fragments=filter_fragments,
+        epsilon_agglomerate=epsilon_agglomerate,
+        replace_sections=replace_sections,
+        num_workers=num_workers,
         roi=total,
     )
     agglomerate_blockwise(

@@ -79,6 +79,8 @@ def run_segmentation(
                     fragments_in_xy=params.get("fragments_in_xy", True),
                     min_seed_distance=params.get("min_seed_distance", 10),
                     filter_fragments=params.get("filter_fragments", 0.05),
+                    epsilon_agglomerate=params.get("epsilon_agglomerate", 0.0),
+                    replace_sections=params.get("replace_sections"),
                     num_workers=cfg.get("num_workers", 8),
                     roi=roi,
                 )

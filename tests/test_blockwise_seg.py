@@ -112,3 +112,22 @@ def test_mws_blockwise(tmp_path):
     interior[:, 26:46, 26:46] = True
     scores = rand_voi(gt[interior], out[interior])
     assert scores["voi_split"] + scores["voi_merge"] < 0.25
+
+
+def test_epsilon_agglomerate_and_replace_sections(tmp_path):
+    gt = _gt_volume()
+    affs_path = _write_affs(tmp_path, gt)
+    segs = waterz_pipeline_blockwise(
+        affs_path,
+        str(tmp_path / "v.zarr"),
+        block_shape=(8, 48, 48),
+        context_voxels=(0, 0, 0),
+        thresholds=[0.5],
+        filter_fragments=0.0,
+        epsilon_agglomerate=0.1,
+        replace_sections=[3],
+        num_workers=1,
+    )
+    frags = open_ds(str(tmp_path / "v.zarr/fragments_ws")).to_ndarray()
+    assert (frags[3] == 0).all()  # defective section zeroed
+    assert frags[2].max() > 0
