@@ -327,3 +327,66 @@ def expand_labels(labels, expansion_voxels: int = 1):
             filled = jnp.where((filled == 0) & (n > 0), n, filled)
         out = filled
     return out
+
+
+def fold_augment(key, raw, prob=0.03, max_strength=6.0, width=8.0):
+    """Per-section fold-line deformation (DefectAugment's deform mode,
+    ``gp/defect_augment.py:297-348`` capability): pixels are pulled
+    toward a random line, simulating a physical fold in the section."""
+    Z, H, W = raw.shape
+    kz, ka, kp, ks = jax.random.split(key, 4)
+    do = jax.random.bernoulli(kz, prob, (Z,))
+    angle = jax.random.uniform(ka, (Z,), maxval=np.pi)
+    offset = jax.random.uniform(kp, (Z,), minval=0.25, maxval=0.75)
+    strength = jax.random.uniform(ks, (Z,), minval=1.0, maxval=max_strength)
+
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def deform_section(sec, a, off, s, active):
+        # signed distance to the fold line through (off*H, off*W)
+        n_y, n_x = jnp.sin(a), jnp.cos(a)
+        d = (yy - off * H) * n_y + (xx - off * W) * n_x
+        # displacement toward the line, decaying with distance
+        disp = s * jnp.sign(d) * jnp.exp(-jnp.abs(d) / width)
+        src_y = yy + disp * n_y
+        src_x = xx + disp * n_x
+        warped = jax.scipy.ndimage.map_coordinates(
+            sec, [src_y, src_x], order=1, mode="nearest"
+        )
+        return jnp.where(active, warped, sec)
+
+    return jax.vmap(deform_section)(raw, angle, offset, strength, do)
+
+
+def clahe_augment(key, raw, clip_range=(0.6, 1.0), nbins=128,
+                  signal_min=0.05):
+    """Per-section clipped histogram equalisation with a random clip
+    limit (ClaheAugment capability, ``gp/clahe_augment.py:8-61``).
+
+    Device-side simplification: the equalisation is per-section global
+    (not tiled); sections with almost no signal are left untouched.
+    """
+    Z = raw.shape[0]
+    keys = jax.random.split(key, Z)
+    edges = jnp.linspace(0.0, 1.0, nbins + 1)
+
+    def eq_section(k, sec):
+        clip = jax.random.uniform(
+            k, (), minval=clip_range[0], maxval=clip_range[1]
+        )
+        hist = jnp.histogram(sec, bins=edges)[0].astype(jnp.float32)
+        hist = hist / jnp.maximum(hist.sum(), 1.0)
+        limit = clip * hist.max()
+        excess = jnp.sum(jnp.clip(hist - limit, 0, None))
+        hist = jnp.minimum(hist, limit) + excess / nbins
+        cdf = jnp.cumsum(hist)
+        cdf = cdf / jnp.maximum(cdf[-1], 1e-6)
+        bins = jnp.clip((sec * (nbins - 1)).astype(jnp.int32), 0, nbins - 1)
+        out = cdf[bins]
+        return jnp.where(jnp.mean(sec) > signal_min, out, sec)
+
+    return jax.vmap(eq_section)(keys, raw)

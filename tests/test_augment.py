@@ -177,3 +177,30 @@ def test_augment_chain_jits():
     out = chain(KEY, _raw3d())
     assert out.shape == (4, 16, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fold_augment_moves_pixels():
+    from bootstrapper_tpu.pipeline.augment import fold_augment
+
+    raw = jax.random.uniform(jax.random.PRNGKey(0), (4, 32, 32))
+    out = fold_augment(jax.random.PRNGKey(1), raw, prob=1.0)
+    assert out.shape == raw.shape
+    assert float(jnp.abs(out - raw).max()) > 0.01
+    # prob=0 -> identity
+    out0 = fold_augment(jax.random.PRNGKey(1), raw, prob=0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(raw), atol=1e-6)
+
+
+def test_clahe_augment_spreads_histogram():
+    from bootstrapper_tpu.pipeline.augment import clahe_augment
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(
+        np.clip(rng.normal(0.5, 0.02, (2, 64, 64)), 0, 1), jnp.float32
+    )
+    out = clahe_augment(jax.random.PRNGKey(0), raw)
+    assert float(jnp.std(out)) > float(jnp.std(raw))
+    # empty sections untouched
+    empty = jnp.zeros((1, 16, 16))
+    out2 = clahe_augment(jax.random.PRNGKey(0), empty, signal_min=0.05)
+    np.testing.assert_allclose(np.asarray(out2), 0.0)
