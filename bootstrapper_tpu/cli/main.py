@@ -247,10 +247,27 @@ def filter(config_file, volume):
 @cli.command()
 @click.argument("config_files", nargs=-1, type=click.Path(exists=True))
 def run(config_files):
-    """Dispatch configs to the right workflow by their keys."""
+    """Dispatch configs to the right workflow by their keys.
+
+    A directory argument runs its numbered stage configs in order
+    (01_train_* ... 05_filter) — one command for a whole round.
+    """
     from ..utils import tomlio
 
-    for config_file in config_files:
+    expanded = []
+    for path in config_files:
+        if os.path.isdir(path):
+            expanded.extend(
+                sorted(
+                    os.path.join(path, f)
+                    for f in os.listdir(path)
+                    if f.endswith(".toml") and f[0].isdigit()
+                )
+            )
+        else:
+            expanded.append(path)
+
+    for config_file in expanded:
         cfg = tomlio.load(config_file)
         keys = set(cfg)
         ctx = click.get_current_context()
