@@ -198,3 +198,44 @@ def test_08_view_text_summary(project):
     )
     assert res.exit_code == 0
     assert "raw" in res.output
+
+
+def test_09_round_chaining(project):
+    """Round 2 prepares from round 1's filtered pseudo-GT and trains."""
+    base, runner = project["base"], project["runner"]
+    res = runner.invoke(
+        cli,
+        [
+            "prepare",
+            "-b", str(base),
+            "-v", str(base / "round_1/next_volumes.toml"),
+            "-m", "3d_affs",
+            "-r", "round_2",
+            "--max-iterations", "3",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    cfg = tomlio.load(str(base / "round_2/01_train_3d_affs.toml"))["train"]
+    # samples now point at the pseudo-GT labels + mask
+    assert "pseudo_gt" in cfg["samples"][0]["labels"]
+    assert "pseudo_gt" in cfg["samples"][0]["mask"]
+
+    # shrink the new setup's net config and train a couple of steps
+    nc_path = str(base / "round_2/setups/3d_affs/net_config.json")
+    with open(nc_path) as f:
+        nc = json.load(f)
+    nc.update(TINY_3D_NET)
+    nc["outputs"]["3d_affs"]["neighborhood"] = [
+        [-1, 0, 0], [0, -1, 0], [0, 0, -1]
+    ]
+    nc["outputs"]["3d_affs"]["dims"] = 3
+    with open(nc_path, "w") as f:
+        json.dump(nc, f)
+    res = runner.invoke(
+        cli,
+        ["train", str(base / "round_2/01_train_3d_affs.toml")],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    assert (base / "round_2/setups/3d_affs/model_checkpoint_3").exists()
