@@ -123,6 +123,10 @@ def create_prediction_configs(
             "num_workers": num_workers,
             "chain": setups,
         }
+        # optional sub-ROI (the reference's get_sub_roi prompt capability)
+        if "roi_offset" in volume:
+            configs[volume_name]["roi_offset"] = volume["roi_offset"]
+            configs[volume_name]["roi_shape"] = volume["roi_shape"]
     return configs
 
 

@@ -60,6 +60,8 @@ def run_prediction(
         roi = None
         if roi_offset is not None:
             roi = Roi(roi_offset, roi_shape)
+        elif "roi_offset" in vcfg:
+            roi = Roi(vcfg["roi_offset"], vcfg["roi_shape"])
 
         prev_arrays = [raw]
         for link in vcfg["chain"]:
