@@ -4,3 +4,4 @@ from .lsd import (
     lsd_descriptors_downsampled,
     lsd_descriptors_2d_stack,
 )
+from .pallas_kernels import seed_maxima, seed_maxima_auto
