@@ -1,0 +1,100 @@
+"""Chained prediction: 2d_mtlsd -> 3d_affs_from_2d_mtlsd (the reference's
+flagship model chain, ``configs.py:198-217``, ``predict.py:144-153``) at
+toy scale, including synthetic training of the refiner."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from bootstrapper_tpu.configs import create_prediction_configs, setup_models
+from bootstrapper_tpu.core.arrays import open_ds, prepare_ds
+from bootstrapper_tpu.models import Model
+from bootstrapper_tpu.train import create_train_state, make_train_step, save_checkpoint
+from bootstrapper_tpu.utils import tomlio
+from bootstrapper_tpu.workflows.predict import run_prediction
+
+TINY_2D = dict(
+    num_fmaps=2,
+    fmap_inc_factor=2,
+    input_shape=[48, 48],
+    output_shape=[8, 8],
+    shape_increase=[0, 0],
+    downsample_factors=[[2, 2]] * 2,
+    kernel_size_down=[[[3, 3], [3, 3]]] * 3,
+    kernel_size_up=[[[3, 3], [3, 3]]] * 2,
+)
+TINY_FROM = dict(
+    num_fmaps=2,
+    fmap_inc_factor=2,
+    input_shape=[12, 48, 48],
+    output_shape=[4, 8, 8],
+    shape_increase=[0, 0, 0],
+    downsample_factors=[[1, 2, 2]] * 2,
+    kernel_size_down=[[[1, 3, 3], [1, 3, 3]], [[3, 3, 3], [3, 3, 3]],
+                      [[3, 3, 3], [3, 3, 3]]],
+    kernel_size_up=[[[1, 3, 3], [1, 3, 3]], [[1, 3, 3], [1, 3, 3]]],
+)
+
+
+def _shrink(setup_dir, tiny):
+    path = os.path.join(setup_dir, "net_config.json")
+    with open(path) as f:
+        nc = json.load(f)
+    nc.update(tiny)
+    with open(path, "w") as f:
+        json.dump(nc, f)
+    return nc
+
+
+def test_chain_2d_mtlsd_to_3d_affs(tmp_path):
+    vs = (1, 1, 1)
+    shape = (20, 80, 80)
+    container = str(tmp_path / "v.zarr")
+    raw = prepare_ds(f"{container}/raw", shape, (0, 0, 0), vs, np.uint8)
+    raw[raw.roi] = np.random.default_rng(0).integers(
+        0, 255, shape, dtype=np.uint8
+    )
+
+    setup_dirs = setup_models(
+        ["2d_mtlsd", "3d_affs_from_2d_mtlsd"], str(tmp_path / "setups")
+    )
+    _shrink(setup_dirs[0], TINY_2D)
+    _shrink(setup_dirs[1], TINY_FROM)
+
+    # untrained-but-valid checkpoints for both setups
+    for d in setup_dirs:
+        model = Model.from_setup(d)
+        model.validate_shapes()
+        state, tx = create_train_state(model, jax.random.PRNGKey(0))
+        save_checkpoint(d, state, 5)
+
+    volumes = {
+        "v": {
+            "raw_dataset": f"{container}/raw",
+            "voxel_size": list(vs),
+            "output_container": container,
+        }
+    }
+    cfgs = create_prediction_configs(volumes, setup_dirs, [5, 5])
+    cfg_path = str(tmp_path / "predict.toml")
+    tomlio.dump({"predict": cfgs}, cfg_path)
+
+    results = run_prediction(cfg_path, batch_tiles=2)
+
+    # stage 1 outputs: 2d lsds + affs stacked into 3D volumes
+    lsds = open_ds(f"{container}/2d_mtlsd/5/2d_lsds")
+    affs2d = open_ds(f"{container}/2d_mtlsd/5/2d_affs")
+    assert lsds.shape[0] == 6 and affs2d.shape[0] == 6
+    assert lsds.spatial_shape == shape
+
+    # stage 2: refiner consumed both and wrote 9-channel 3d affs with
+    # the chain-encoded dataset name
+    chained = f"{container}/3d_affs_from_2d_mtlsd/5--from--2d_mtlsd_5/3d_affs"
+    affs3d = open_ds(chained)
+    assert affs3d.shape[0] == 9
+    assert (affs3d.to_ndarray() > 0).any()
+    assert len(results) == 2
