@@ -20,7 +20,8 @@ from ..utils import tomlio
 logger = logging.getLogger(__name__)
 
 
-def get_best_seg_from_eval(eval_json: str) -> str:
+def get_best_seg_from_eval(eval_json: str) -> tuple:
+    """(best segmentation path, its error-mask path or None)."""
     with open(eval_json) as f:
         results = json.load(f)
     if not results:
@@ -38,7 +39,8 @@ def get_best_seg_from_eval(eval_json: str) -> str:
 
     best = max(results.items(), key=lambda kv: score(kv[1])[1])
     logger.info("best segmentation: %s (%s)", best[0], score(best[1]))
-    return best[0]
+    err_mask = best[1].get("pred_errors", {}).get("error_mask")
+    return best[0], err_mask
 
 
 def run_filter(config_file: str, volume: Optional[str] = None) -> dict:
@@ -48,18 +50,19 @@ def run_filter(config_file: str, volume: Optional[str] = None) -> dict:
     for volume_name, cfg in cfg_all.items():
         if volume is not None and volume_name != volume:
             continue
+        err_mask = None
         if "seg_dataset" in cfg:
             seg_path = cfg["seg_dataset"]
         else:
             eval_json = os.path.join(
                 cfg["eval_dir"], f"{volume_name}_results.json"
             )
-            seg_path = get_best_seg_from_eval(eval_json)
+            seg_path, err_mask = get_best_seg_from_eval(eval_json)
         res = filter_segmentation_blockwise(
             seg_path,
             cfg["out_seg_dataset_prefix"],
             cfg["out_mask_dataset_prefix"],
-            error_mask_path=cfg.get("error_mask_dataset"),
+            error_mask_path=cfg.get("error_mask_dataset", err_mask),
             dust_filter=cfg.get("dust_filter", 500),
             remove_outliers=cfg.get("remove_outliers", True),
             remove_z_fragments=cfg.get("remove_z_fragments", 10),

@@ -79,7 +79,7 @@ def run_prediction(
                     model.net_config, raw.spatial_shape
                 )
                 logger.info("auto tile: shape_increase=%s", shape_increase)
-            if sharded and model.dims == 3:
+            if sharded:
                 import jax
 
                 from ..predict.sharded import ShardedPredictor
