@@ -95,6 +95,32 @@ def run_evaluation(config_file: str, volume: Optional[str] = None) -> dict:
                         thresholds=tuple(pred.get("thresholds", (0.1, 1.0))),
                     )
             results[seg_path] = entry
+        if "threshold_sweep" in cfg:
+            # per-threshold LUT sweep over the RAG without extracting
+            # segmentations (EvaluateAnnotations capability)
+            from ..eval.thresholds import evaluate_thresholds
+            from ..post.rag import RagDB
+
+            ts = cfg["threshold_sweep"]
+            gt = cfg.get("gt", {})
+            sweep = evaluate_thresholds(
+                open_ds(ts["fragments_dataset"]),
+                RagDB(ts["rag_db"], mode="r"),
+                ts.get("thresholds", [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7]),
+                gt_labels=(
+                    open_ds(gt["labels_dataset"])
+                    if gt.get("labels_dataset")
+                    else None
+                ),
+                gt_skeletons=gt.get("skeletons_file"),
+                mask=mask,
+            )
+            # json-safe keys
+            sweep["thresholds"] = {
+                str(k): v for k, v in sweep["thresholds"].items()
+            }
+            results["threshold_sweep"] = sweep
+
         out_dir = cfg.get("out_result_dir", ".")
         os.makedirs(out_dir, exist_ok=True)
         out_json = os.path.join(out_dir, f"{volume_name}_results.json")

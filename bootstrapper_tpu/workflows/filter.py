@@ -24,8 +24,14 @@ def get_best_seg_from_eval(eval_json: str) -> tuple:
     """(best segmentation path, its error-mask path or None)."""
     with open(eval_json) as f:
         results = json.load(f)
+    results = {
+        k: v
+        for k, v in results.items()
+        if isinstance(v, dict)
+        and ({"voi", "skeletons", "pred_errors"} & set(v))
+    }
     if not results:
-        raise ValueError(f"empty eval results {eval_json}")
+        raise ValueError(f"no scored segmentations in {eval_json}")
 
     def score(entry):
         if "voi" in entry:
