@@ -303,8 +303,25 @@ def make_round_configs(
     seg_prefix = os.path.join(
         "post", os.path.basename(affs_prefix), f"segmentations_{segment_method}"
     )
+    pred_dataset = None
+    pred_params = None
+    if not gt_labels and not gt_skeletons:
+        # no ground truth: score segmentations by self-supervised
+        # prediction-consistency errors against the final model output
+        # (the reference's "pred" eval mode, ``configs.py:767-777``)
+        last_nc = json.load(
+            open(os.path.join(setup_dirs[-1], "net_config.json"))
+        )
+        out_name, out_cfg = next(iter(last_nc["outputs"].items()))
+        pred_dataset = os.path.join(affs_prefix, out_name)
+        if "sigma" in out_cfg:
+            pred_params = {"lsd_sigma": out_cfg["sigma"]}
+        else:
+            pred_params = {"aff_neighborhood": out_cfg["neighborhood"]}
     ev = create_evaluation_configs(
-        volumes, seg_prefix, gt_labels=gt_labels, gt_skeletons=gt_skeletons
+        volumes, seg_prefix,
+        pred_dataset=pred_dataset, pred_params=pred_params,
+        gt_labels=gt_labels, gt_skeletons=gt_skeletons,
     )
     p = os.path.join(round_dir, "04_evaluate.toml")
     tomlio.dump({"evaluate": ev}, p)

@@ -239,3 +239,25 @@ def test_09_round_chaining(project):
     )
     assert res.exit_code == 0, res.output
     assert (base / "round_2/setups/3d_affs/model_checkpoint_3").exists()
+
+
+def test_10_no_gt_round_uses_self_eval(project, tmp_path):
+    """Without --gt-labels the eval config scores by prediction errors."""
+    base, runner = project["base"], project["runner"]
+    res = runner.invoke(
+        cli,
+        [
+            "prepare",
+            "-b", str(tmp_path),
+            "-v", str(base / "volumes.toml"),
+            "-m", "3d_affs",
+            "-r", "nogt",
+            "--max-iterations", "5",
+        ],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    ev = tomlio.load(str(tmp_path / "nogt/04_evaluate.toml"))["evaluate"]["vol"]
+    assert "pred" in ev
+    assert "aff_neighborhood" in ev["pred"]["params"]
+    assert ev["pred"]["pred_dataset"].endswith("3d_affs/4/3d_affs")
