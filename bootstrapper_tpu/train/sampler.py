@@ -79,19 +79,24 @@ class RandomLocationSampler:
         self.min_masked = min_masked
         self.max_tries = max_tries
         self.rng = np.random.default_rng(seed)
+        # numpy Generators are not thread-safe; BatchLoader runs several
+        # sampling threads
+        self._rng_lock = threading.Lock()
 
     def _random_output_roi(self, sample: Sample) -> Roi:
         vs = sample.labels.voxel_size
         room = sample.labels.roi.shape - self.output_size
-        begin = Coordinate(
-            0 if r <= 0 else int(self.rng.integers(0, r // v + 1)) * v
-            for r, v in zip(room, vs)
-        )
+        with self._rng_lock:
+            begin = Coordinate(
+                0 if r <= 0 else int(self.rng.integers(0, r // v + 1)) * v
+                for r, v in zip(room, vs)
+            )
         return Roi(sample.labels.roi.offset + begin, self.output_size)
 
     def sample(self) -> dict:
         for _ in range(self.max_tries):
-            s = self.samples[int(self.rng.integers(0, len(self.samples)))]
+            with self._rng_lock:
+                s = self.samples[int(self.rng.integers(0, len(self.samples)))]
             out_roi = self._random_output_roi(s)
             labels = s.labels.to_ndarray(out_roi)
             if s.mask is not None:
