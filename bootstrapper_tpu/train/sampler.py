@@ -123,12 +123,17 @@ class RandomLocationSampler:
 
 def renumber(labels: np.ndarray, max_labels: Optional[int] = None) -> np.ndarray:
     """Dense relabel to 0..K-1 preserving background 0 (gp Renumber
-    capability, ``gp/renumber.py:5-27``; device ops need small dense ids)."""
-    ids = np.unique(labels)
-    ids = ids[ids != 0]
-    out = np.zeros_like(labels, dtype=np.int32)
-    for new, old in enumerate(ids, start=1):
-        out[labels == old] = new
+    capability, ``gp/renumber.py:5-27``; device ops need small dense ids).
+
+    Vectorised via rank lookup — this runs per training draw on
+    multi-megavoxel crops, so no per-id python loops.
+    """
+    ids = np.unique(labels)  # sorted
+    ranks = np.searchsorted(ids, labels)
+    if len(ids) and ids[0] == 0:
+        out = ranks.astype(np.int32)  # background keeps rank 0
+    else:
+        out = (ranks + 1).astype(np.int32)
     if max_labels is not None and len(ids) >= max_labels:
         # clamp rare overflow: merge extra ids into max_labels-1
         out = np.minimum(out, max_labels - 1)
