@@ -98,6 +98,10 @@ def main():
     if tflops_per_sec is not None:
         result["tflops_per_sec"] = round(tflops_per_sec, 1)
         result["ms_per_tile"] = round(dt / iters * 1000, 1)
+    result["tile"] = "x".join(map(str, input_shape)) + "->" + "x".join(
+        map(str, output_shape)
+    )
+    result["dtype"] = "bfloat16"
     print(json.dumps(result))
 
 
