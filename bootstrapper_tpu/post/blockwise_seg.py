@@ -90,6 +90,8 @@ def extract_fragments_blockwise(
         if a.max() > 1.5:
             a = a / 255.0
         if method == "ws":
+            # direct-neighbour channels only (reference watershed.py:69)
+            a = a[:3]
             frags, _ = watershed_from_affinities(
                 a,
                 fragments_in_xy=fragments_in_xy,

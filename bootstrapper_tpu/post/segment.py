@@ -60,6 +60,9 @@ def waterz_segmentation(
     affs = np.asarray(affs, np.float32)
     if affs.max() > 1.5:  # uint8-scaled predictions
         affs = affs / 255.0
+    # only the direct-neighbour channels drive watershed + agglomeration
+    # (reference ``post/watershed.py:69``: affs[:3])
+    affs = affs[:3]
     fragments, _ = watershed_from_affinities(
         affs,
         fragments_in_xy=fragments_in_xy,
