@@ -206,7 +206,8 @@ def gamma_augment(key, raw, gamma_range=(0.8, 1.25), slab_axis=None):
         lg = jax.random.uniform(
             k, (), minval=np.log(gamma_range[0]), maxval=np.log(gamma_range[1])
         )
-        return jnp.power(jnp.clip(x, 1e-6, 1.0), jnp.exp(lg))
+        # clip the result too: fp pow can exceed 1 by ~1e-7
+        return jnp.clip(jnp.power(jnp.clip(x, 1e-6, 1.0), jnp.exp(lg)), 0.0, 1.0)
 
     return _per_slab(key, raw, fn, slab_axis)
 
