@@ -109,6 +109,7 @@ def make_synth_device_transform(net_config: dict, voxel_size):
                 kd, xc, prob_missing=0.05, prob_low_contrast=0.05
             )
         )(x)
+        x = jnp.clip(x, 0.0, 1.0)  # fp guard: blurs/pows can exceed by ~1e-7
 
         # ---- target from the clean labels ----
         labels_out = crop_out(clean)

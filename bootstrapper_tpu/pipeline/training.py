@@ -166,6 +166,7 @@ def make_device_transform(spec: SetupSpec):
             prob_missing=0.05 if spec.input_tile[0] > 1 else 0.0,
             prob_low_contrast=0.1,
         )
+        raw = jnp.clip(raw, 0.0, 1.0)  # fp guard before [-1,1] scaling
 
         # ---- targets on the output crop ----
         labels_out = crop_out(labels)
