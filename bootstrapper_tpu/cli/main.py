@@ -232,11 +232,12 @@ def evaluate(config_file, volume):
 @cli.command()
 @click.argument("config_file", type=click.Path(exists=True))
 @click.option("--volume", "-v", default=None)
-def filter(config_file, volume):
+@click.option("--param", "-p", multiple=True, help="key=value overrides")
+def filter(config_file, volume, param):
     """Filter the best segmentation into pseudo-GT for the next round."""
     from ..workflows.filter import run_filter
 
-    result = run_filter(config_file, volume=volume)
+    result = run_filter(config_file, volume=volume, param_overrides=param)
     for vol, res in result.items():
         cli_echo(
             f"{vol}: removed {res['removed_ids']} ids -> {res['labels']}",

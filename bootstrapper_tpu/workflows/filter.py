@@ -49,13 +49,23 @@ def get_best_seg_from_eval(eval_json: str) -> tuple:
     return best[0], err_mask
 
 
-def run_filter(config_file: str, volume: Optional[str] = None) -> dict:
+def run_filter(
+    config_file: str, volume: Optional[str] = None, param_overrides=()
+) -> dict:
+    from ast import literal_eval
+
     cfg_all = tomlio.load(config_file)
     cfg_all = cfg_all.get("filter", cfg_all)
     out = {}
     for volume_name, cfg in cfg_all.items():
         if volume is not None and volume_name != volume:
             continue
+        for kv in param_overrides:
+            k, v = kv.split("=", 1)
+            try:
+                cfg[k] = literal_eval(v)
+            except (ValueError, SyntaxError):
+                cfg[k] = v
         err_mask = None
         if "seg_dataset" in cfg:
             seg_path = cfg["seg_dataset"]
