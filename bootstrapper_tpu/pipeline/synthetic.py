@@ -140,8 +140,8 @@ class SyntheticTrainingPipeline:
         voxel_size=(1, 1, 1),
         batch_size: int = 1,
         seed: int = 0,
-        prefetch: int = 4,
-        num_threads: int = 2,
+        prefetch: int = 6,
+        num_threads: int = 4,
     ):
         self.net_config = net_config
         self.input_tile = tuple(net_config["input_shape"])

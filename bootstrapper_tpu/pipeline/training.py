@@ -245,8 +245,8 @@ class TrainingPipeline:
         batch_size: Optional[int] = None,
         min_masked: float = 0.05,
         seed: Optional[int] = 0,
-        prefetch: int = 4,
-        num_threads: int = 2,
+        prefetch: int = 6,
+        num_threads: int = 4,
     ):
         self.spec = SetupSpec(net_config, tuple(voxel_size))
         self.batch_size = batch_size or self.spec.batch_size
