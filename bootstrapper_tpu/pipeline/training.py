@@ -137,11 +137,8 @@ def make_device_transform(spec: SetupSpec):
             keys[0], arrays, mirror_axes=(0, 1, 2), transpose_axes=(1, 2)
         )
         interp = {"raw": 1, "labels": 0, "mask": 0}
-        jitter = (
-            (0.0, 2.0, 2.0) if not spec.is_2d else (0.0, 2.0, 2.0)
-        )
         deformed = elastic_deform(
-            keys[1], arrays, interp, jitter_sigma=jitter,
+            keys[1], arrays, interp, jitter_sigma=(0.0, 2.0, 2.0),
             rotation_max=np.pi / 2, scale_range=(0.9, 1.1),
         )
         arrays = _gate(keys[2], 0.5, deformed, arrays)
