@@ -123,6 +123,11 @@ def lsd_descriptors(
     voxel_size = tuple(voxel_size) if voxel_size is not None else (1.0,) * dims
     sigmas_vox = [s / v for s, v in zip(sigma, voxel_size)]
 
+    # ids beyond max_labels merge into the last channel: out-of-range
+    # gather indices are UNDEFINED on TPU (garbage/NaN reads; CPU merely
+    # clamps), so the clamp must happen here, not just host-side
+    seg = jnp.minimum(seg, max_labels - 1)
+
     # one-hot masks per label id (skip background channel 0 later)
     onehot = jax.nn.one_hot(seg, max_labels, axis=0, dtype=dtype)
     moments = _blur_moments(onehot, sigmas_vox)

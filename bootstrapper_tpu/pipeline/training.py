@@ -255,6 +255,7 @@ class TrainingPipeline:
             output_size=in_size,  # labels read at input size (geometric augs)
             min_masked=min_masked,
             seed=seed,
+            max_labels=MAX_LABELS,
         )
         self.loader = BatchLoader(
             self._draw, self.batch_size, prefetch, num_threads

@@ -70,7 +70,9 @@ class RandomLocationSampler:
         min_masked: float = 0.5,
         max_tries: int = 50,
         seed: Optional[int] = None,
+        max_labels: Optional[int] = None,
     ):
+        self.max_labels = max_labels
         assert samples, "need at least one sample"
         self.samples = list(samples)
         self.input_size = Coordinate(input_size)
@@ -112,7 +114,7 @@ class RandomLocationSampler:
             raw = normalize_raw(s.raw.to_ndarray(in_roi))
             return {
                 "raw": raw,
-                "labels": renumber(labels),
+                "labels": renumber(labels, max_labels=self.max_labels),
                 "mask": mask,
                 "roi": out_roi,
             }
