@@ -77,6 +77,7 @@ def extract_fragments_blockwise(
     mws_kwargs: Optional[dict] = None,
     num_workers: int = 8,
     roi: Optional[Roi] = None,
+    audit: bool = False,
 ):
     vs = affs.voxel_size
     total = roi or fragments.roi
@@ -182,6 +183,7 @@ def extract_fragments_blockwise(
         fit="shrink",
         read_write_conflict=False,
         num_workers=num_workers,
+        audit=audit,
     )
     return run_blockwise_or_raise(task)
 

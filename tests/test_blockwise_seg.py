@@ -131,3 +131,22 @@ def test_epsilon_agglomerate_and_replace_sections(tmp_path):
     frags = open_ds(str(tmp_path / "v.zarr/fragments_ws")).to_ndarray()
     assert (frags[3] == 0).all()  # defective section zeroed
     assert frags[2].max() > 0
+
+
+def test_fragments_with_audit(tmp_path):
+    """Fragment extraction passes the runtime race audit."""
+    gt = _gt_volume()
+    affs_path = _write_affs(tmp_path, gt)
+    from bootstrapper_tpu.core.arrays import open_ds as _o, prepare_ds as _p
+    from bootstrapper_tpu.post.blockwise_seg import extract_fragments_blockwise
+    from bootstrapper_tpu.post.rag import RagDB
+    import numpy as _np
+
+    affs = _o(affs_path)
+    frags = _p(str(tmp_path / "v.zarr/frags_a"), gt.shape, (0, 0, 0), (1, 1, 1), _np.uint64)
+    rag = RagDB(str(tmp_path / "rag_a.db"), mode="w")
+    res = extract_fragments_blockwise(
+        affs, frags, rag, (8, 24, 24), (0, 4, 4),
+        filter_fragments=0.0, num_workers=4, audit=True,
+    )
+    assert res.ok
