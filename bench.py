@@ -39,9 +39,11 @@ def main():
     nc = model.net_config
     # Tile choice: valid convolutions make output values independent of
     # tile size, so taller tiles amortise the fixed z-context (28 slices)
-    # over more output. (92,412,412)->(64,320,320) computes ~3.3x fewer
+    # over more output. (152,412,412)->(124,320,320) computes ~3.5x fewer
     # FLOPs per output voxel than the reference's (32,412,412)->(4,...)
-    # tile and measures ~3.8x higher throughput on v5e.
+    # tile and measures ~4.2x higher throughput on v5e. Taller/wider
+    # tiles hit HBM limits (layout padding, see BASELINE.md): z=182 runs
+    # ~2% faster but OOMs with several resident input buffers.
     shape_increase = [120, 216, 216]
     input_shape = [a + b for a, b in zip(nc["input_shape"], shape_increase)]
     output_shape = [a + b for a, b in zip(nc["output_shape"], shape_increase)]
