@@ -261,3 +261,16 @@ def test_10_no_gt_round_uses_self_eval(project, tmp_path):
     assert "pred" in ev
     assert "aff_neighborhood" in ev["pred"]["params"]
     assert ev["pred"]["pred_dataset"].endswith("3d_affs/4/3d_affs")
+
+
+def test_11_run_directory_mode(project, tmp_path):
+    """`bs run <round_dir>` executes the numbered configs in order
+    (here: just the segment + evaluate + filter tail of round_1)."""
+    base, runner = project["base"], project["runner"]
+    import shutil
+    d = tmp_path / "tail"
+    d.mkdir()
+    for f in ["03_segment.toml", "04_evaluate.toml", "05_filter.toml"]:
+        shutil.copy(base / "round_1" / f, d / f)
+    res = runner.invoke(cli, ["run", str(d)], catch_exceptions=False)
+    assert res.exit_code == 0, res.output

@@ -106,3 +106,44 @@ def test_sharded_volume_matches_single_device(tmp_path):
     diff = np.abs(a - b)
     assert diff.max() <= 2  # uint8 rounding jitter only
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.999
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")
+def test_sharded_2d_stacked(tmp_path):
+    """2D setups shard over the tile batch too (z-slices as tiles)."""
+    vs = (50, 8, 8)
+    shape = (8, 24, 24)
+    raw = prepare_ds(str(tmp_path / "t.zarr/raw"), shape, (0, 0, 0), vs, np.uint8)
+    raw[raw.roi] = np.random.default_rng(3).integers(0, 255, shape, dtype=np.uint8)
+
+    nc = dict(Model.from_setup("2d_affs").net_config)
+    nc.update(
+        num_fmaps=2,
+        fmap_inc_factor=2,
+        input_shape=[24, 24],
+        output_shape=[8, 8],
+        shape_increase=[0, 0],
+        downsample_factors=[[2, 2]],
+        kernel_size_down=[[[3, 3], [3, 3]]] * 2,
+        kernel_size_up=[[[3, 3], [3, 3]]],
+    )
+    nc["outputs"] = {
+        "2d_affs": {"dtype": "uint8", "dims": 2,
+                    "neighborhood": [[-1, 0], [0, -1]], "grow_boundary": 1}
+    }
+    model = Model(nc)
+    model.validate_shapes()
+    params = model.init(jax.random.PRNGKey(0))
+    sharded = ShardedPredictor(
+        model, params, vs, devices=jax.devices()[:4],
+        compute_dtype=jnp.float32,
+    )
+    assert sharded.in_tile == (3, 24, 24)
+    outs = prepare_prediction_outputs(
+        str(tmp_path / "o.zarr"), model, raw.roi, vs, predictor=None
+    )
+    stats = sharded.predict(raw, outs)
+    assert stats["devices"] == 4
+    a = outs["2d_affs"].to_ndarray()
+    assert a.shape == (2, 8, 24, 24)
+    assert (a > 0).mean() > 0.3
