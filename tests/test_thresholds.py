@@ -71,3 +71,31 @@ def test_skeleton_sweep(setup):
     assert out["thresholds"][0.9]["edits"]["splits_needed"] >= 1
     # at 0.05 skeleton a spans fragments 1,2 -> split
     assert out["thresholds"][0.05]["skeletons"]["split_count"] >= 1
+
+
+def test_threshold_sweep_via_evaluate_workflow(setup, tmp_path):
+    """The evaluate workflow's threshold_sweep config path."""
+    from bootstrapper_tpu.utils import tomlio
+    from bootstrapper_tpu.workflows.evaluate import run_evaluation
+
+    frags = setup["frags"]
+    cfg = {
+        "evaluate": {
+            "vol": {
+                "out_result_dir": str(tmp_path / "eval"),
+                "seg_datasets_prefix": str(tmp_path / "none"),
+                "threshold_sweep": {
+                    "fragments_dataset": frags.path,
+                    "rag_db": setup["rag"].path,
+                    "thresholds": [0.05, 0.5, 0.9],
+                },
+                "gt": {"labels_dataset": setup["gt"].path},
+            }
+        }
+    }
+    p = str(tmp_path / "eval.toml")
+    tomlio.dump(cfg, p)
+    out = run_evaluation(p)
+    sweep = out["vol"]["threshold_sweep"]
+    assert sweep["best_voi"]["threshold"] == 0.5
+    assert "0.9" in sweep["thresholds"]
