@@ -30,8 +30,10 @@ def _split_store_path(path: str) -> tuple[str, str]:
     """Split '/a/b.zarr/c/d' into ('/a/b.zarr', 'c/d').
 
     If no '.zarr' component exists, treat the full path as the array dir.
+    Paths are absolutised: TensorStore's file kvstore rejects relative
+    paths ("Invalid file path: ./...").
     """
-    path = path.rstrip("/")
+    path = os.path.abspath(path).rstrip("/")
     parts = path.split("/")
     for i, p in enumerate(parts):
         if p.endswith(".zarr") or p.endswith(".zip"):

@@ -81,3 +81,13 @@ def test_out_of_bounds_raises(tmp_path):
     arr = prepare_ds(path, (4, 4), (0, 0), (1, 1), np.uint8)
     with pytest.raises(IndexError):
         arr[Roi((0, 0), (8, 8))]
+
+
+def test_relative_path(tmp_path, monkeypatch):
+    """TensorStore rejects relative paths; prepare_ds must absolutise
+    (regression: training snapshots silently failed with './...' dirs)."""
+    monkeypatch.chdir(tmp_path)
+    arr = prepare_ds("./sub/t.zarr/x", (4, 4), (0, 0), (1, 1), np.uint8)
+    arr[arr.roi] = np.ones((4, 4), np.uint8)
+    again = open_ds("sub/t.zarr/x")
+    assert again.to_ndarray().sum() == 16
