@@ -29,19 +29,22 @@ def rand_voi(gt: np.ndarray, seg: np.ndarray, ignore_gt_zero: bool = True):
             "nvi_split": 0.0, "nvi_merge": 0.0,
         }
 
-    # sparse contingency: counts of (gt, seg) pairs
-    pairs = (gt << np.uint64(32)) | (seg & np.uint64(0xFFFFFFFF))
+    # sparse contingency: counts of (gt, seg) pairs. Ids are first
+    # compressed to dense indices so arbitrary 64-bit ids are safe —
+    # blockwise fragment ids are block_id * voxels_per_block and exceed
+    # 2**32 on large volumes, so bit-packing raw ids would silently
+    # collide (round-1 VERDICT item 6).
+    gt_ids, gt_inv = np.unique(gt, return_inverse=True)
+    seg_ids, seg_inv = np.unique(seg, return_inverse=True)
+    n_seg = np.uint64(len(seg_ids))
+    pairs = gt_inv.astype(np.uint64) * n_seg + seg_inv.astype(np.uint64)
     pair_vals, pair_counts = np.unique(pairs, return_counts=True)
     p_ij = pair_counts / n
-    gt_of_pair = (pair_vals >> np.uint64(32)).astype(np.int64)
-    seg_of_pair = (pair_vals & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    gt_of_pair = (pair_vals // n_seg).astype(np.int64)
+    seg_of_pair = (pair_vals % n_seg).astype(np.int64)
 
-    gt_ids, gt_inv = np.unique(gt_of_pair, return_inverse=True)
-    seg_ids, seg_inv = np.unique(seg_of_pair, return_inverse=True)
-    p_i = np.zeros(len(gt_ids))
-    np.add.at(p_i, gt_inv, p_ij)
-    p_j = np.zeros(len(seg_ids))
-    np.add.at(p_j, seg_inv, p_ij)
+    p_i = np.bincount(gt_of_pair, weights=p_ij, minlength=len(gt_ids))
+    p_j = np.bincount(seg_of_pair, weights=p_ij, minlength=len(seg_ids))
 
     def H(p):
         p = p[p > 0]

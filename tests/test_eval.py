@@ -35,6 +35,35 @@ def test_voi_split_merge_direction():
     assert o["voi_split"] == pytest.approx(1.0)
 
 
+def test_voi_ids_beyond_32_bits():
+    # blockwise fragment/segment ids are block_id * voxels_per_block and
+    # exceed 2**32 on large volumes; bit-packing raw ids would silently
+    # merge distinct segments (round-1 VERDICT item 6)
+    big = np.uint64(1) << np.uint64(40)
+    gt = np.array([1, 1, 2, 2, big, big, big + np.uint64(1)], np.uint64)
+    # seg splits big into two + relabels everything with >2**32 ids
+    seg = np.array(
+        [big + np.uint64(7), big + np.uint64(7), 3, 3,
+         big * np.uint64(2), big * np.uint64(3), big * np.uint64(3)],
+        np.uint64,
+    )
+    out = rand_voi(gt, seg)
+    # gt 2**40 is split (2 seg ids) and seg big*3 merges gt ids
+    assert out["voi_split"] > 0
+    assert out["voi_merge"] > 0
+    # a distinct-high-id perfect relabeling must still be perfect
+    seg2 = gt + (np.uint64(1) << np.uint64(45))
+    perfect = rand_voi(gt, seg2)
+    assert perfect["voi_split"] + perfect["voi_merge"] == pytest.approx(
+        0.0, abs=1e-9
+    )
+    # regression: two seg ids that collide modulo 2**32 stay distinct
+    gt3 = np.array([1, 1, 1, 1], np.uint64)
+    seg3 = np.array([5, 5, 5 + (1 << 32), 5 + (1 << 32)], np.uint64)
+    out3 = rand_voi(gt3, seg3)
+    assert out3["voi_split"] == pytest.approx(1.0)
+
+
 def test_voi_ignores_gt_zero():
     gt = np.array([0, 0, 1, 1])
     seg = np.array([5, 6, 7, 7])
