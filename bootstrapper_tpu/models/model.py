@@ -120,16 +120,32 @@ class Model:
             # (n, d, h, w, c) -> (n, h, w, d*c)
             n, d, h, w, c = x.shape
             x = jnp.moveaxis(x, 1, 3).reshape(n, h, w, d * c)
-        z = unet_apply(params["unet"], x, cfg, self.compute_dtype)[0]
+        z = unet_apply(
+            params["unet"], x, cfg, self.compute_dtype, return_folded=True
+        )[0]
+        folded = self.dims == 3 and z.shape[-1] == 4 * cfg.out_channels
         outs = {}
         for name in self.net_config["outputs"]:
-            y = conv_pass_apply(
-                params[f"head_{name}"],
-                z,
-                [(1,) * cfg.dims],
-                activation="sigmoid",
-                compute_dtype=self.compute_dtype,
-            ).astype(jnp.float32)
+            if folded:
+                from . import fold as F
+
+                y = F.unfold(
+                    F.folded_conv_pass(
+                        params[f"head_{name}"],
+                        z,
+                        [(1, 1, 1)],
+                        activation="sigmoid",
+                        compute_dtype=self.compute_dtype,
+                    )
+                ).astype(jnp.float32)
+            else:
+                y = conv_pass_apply(
+                    params[f"head_{name}"],
+                    z,
+                    [(1,) * cfg.dims],
+                    activation="sigmoid",
+                    compute_dtype=self.compute_dtype,
+                ).astype(jnp.float32)
             if self.stack_infer and self.dims == 2:
                 y = y[:, None]  # re-insert z axis: (n, 1, h, w, c)
             outs[name] = y

@@ -48,6 +48,10 @@ class UNetConfig:
     num_fmaps_out: Optional[int] = None
     constant_upsample: bool = True
     padding: str = "valid"
+    # TPU perf: re-express the full-resolution level as a 2x2 xy
+    # space-to-depth fold (exact; see fold.py). Auto-disabled when the
+    # config or input shape is ineligible.
+    fold_xy: bool = True
 
     def __post_init__(self):
         object.__setattr__(
@@ -312,8 +316,29 @@ def unet_init(key, cfg: UNetConfig, dtype=jnp.float32):
     return {"l_conv": l_conv, "r_up": r_up, "r_conv": r_conv}
 
 
-def unet_apply(params, x, cfg: UNetConfig, compute_dtype=jnp.bfloat16):
-    """Run the U-Net. x: (N, *spatial, C). Returns list of per-head outputs."""
+def _fold_eligible(cfg: UNetConfig, x) -> bool:
+    """Level-0 xy fold applies: 3D net, (1,2,2) first downsample, odd xy
+    kernels at level 0, even xy input extents."""
+    if not cfg.fold_xy or cfg.dims != 3 or cfg.num_levels < 2:
+        return False
+    if tuple(cfg.downsample_factors[0]) != (1, 2, 2):
+        return False
+    from .fold import can_fold_kernel
+
+    kernels = list(cfg.kernel_size_down[0]) + list(cfg.kernel_size_up[0])
+    if not all(can_fold_kernel(k) for k in kernels):
+        return False
+    return x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
+
+
+def unet_apply(
+    params, x, cfg: UNetConfig, compute_dtype=jnp.bfloat16, return_folded=False
+):
+    """Run the U-Net. x: (N, *spatial, C). Returns list of per-head outputs.
+
+    With ``return_folded=True`` and an eligible 3D config, per-head
+    outputs stay in the 2x2-xy-folded layout (N, D, H/2, W/2, 4*C) so
+    callers can run 1x1 heads folded; detect by channel count."""
     crop_factors = cfg.crop_factors
     dims = cfg.dims
 
@@ -360,7 +385,52 @@ def unet_apply(params, x, cfg: UNetConfig, compute_dtype=jnp.bfloat16):
             )
         return fs_out
 
-    return rec(cfg.num_levels - 1, x.astype(compute_dtype))
+    if not _fold_eligible(cfg, x):
+        return rec(cfg.num_levels - 1, x.astype(compute_dtype))
+
+    # -- folded level 0: space-to-depth over 2x2 xy (exact rewrite) --------
+    from . import fold as F
+
+    xf = F.fold(x.astype(compute_dtype))
+    f_left_f = F.folded_conv_pass(
+        params["l_conv"][0], xf, cfg.kernel_size_down[0], cfg.activation,
+        compute_dtype,
+    )
+    g_in = F.folded_phase_max(f_left_f)
+    gs_out = rec(cfg.num_levels - 2, g_in)
+    fs_out = []
+    for h in range(cfg.num_heads):
+        if cfg.constant_upsample:
+            g_up = upsample_resize(gs_out[h], cfg.downsample_factors[0])
+        else:
+            up = params["r_up"][h][0]
+            g_up = upsample_transposed(
+                gs_out[h], up["w"], up["b"], cfg.downsample_factors[0],
+                compute_dtype,
+            )
+        if cfg.padding == "valid":
+            g_up = crop_to_factor(g_up, crop_factors[0], cfg.kernel_size_up[0])
+        if g_up.shape[2] % 2 or g_up.shape[3] % 2:
+            # odd upsampled extent: finish this head unfolded
+            f_left = F.unfold(f_left_f)
+            f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
+            f_right = jnp.concatenate([f_crop, g_up], axis=-1)
+            fs_out.append(
+                conv_pass_apply(
+                    params["r_conv"][h][0], f_right, cfg.kernel_size_up[0],
+                    cfg.activation, compute_dtype,
+                )
+            )
+            continue
+        g_up_f = F.fold(g_up)
+        f_crop_f = F.folded_center_crop(f_left_f, g_up.shape[1 : 1 + dims])
+        f_right_f = F.folded_concat(f_crop_f, g_up_f)
+        out_f = F.folded_conv_pass(
+            params["r_conv"][h][0], f_right_f, cfg.kernel_size_up[0],
+            cfg.activation, compute_dtype,
+        )
+        fs_out.append(out_f if return_folded else F.unfold(out_f))
+    return fs_out
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,184 @@
+"""The 2x2-xy space-to-depth fold of U-Net level 0 is an exact rewrite:
+same parameters, same outputs (fp32), same gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bootstrapper_tpu.models import fold as F
+from bootstrapper_tpu.models.unet import (
+    UNetConfig,
+    conv_pass_apply,
+    conv_pass_init,
+    unet_apply,
+    unet_init,
+)
+from bootstrapper_tpu.models import Model
+
+
+def small_cfg(**over):
+    kw = dict(
+        in_channels=1,
+        num_fmaps=3,
+        fmap_inc_factor=2,
+        downsample_factors=[[1, 2, 2]] * 2,
+        kernel_size_down=[[[3, 3, 3], [3, 3, 3]]] * 3,
+        kernel_size_up=[[[3, 3, 3], [3, 3, 3]]] * 2,
+    )
+    kw.update(over)
+    return UNetConfig(**kw)
+
+
+def test_fold_unfold_roundtrip():
+    x = jnp.arange(2 * 3 * 4 * 6 * 5, dtype=jnp.float32).reshape(2, 3, 4, 6, 5)
+    assert np.array_equal(F.unfold(F.fold(x)), x)
+
+
+def test_folded_conv_matches_unfolded():
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (3, 3, 3, 2, 4), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (4,), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 7, 10, 12, 2), jnp.float32)
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + b
+    got = F.unfold(F.folded_conv(F.fold(x), w, b, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("oy,ox", [(0, 0), (1, 0), (0, 1), (1, 1), (3, 2)])
+def test_folded_crop_parity(oy, ox):
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 5, 12, 14, 3), jnp.float32)
+    xf = F.fold(x)
+    target = (3, 6, 8)
+    ref = x[:, 1 : 1 + 3, oy : oy + 6, ox : ox + 8, :]
+    got = F.unfold(F.folded_crop(xf, target, (1, oy, ox)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_folded_phase_max_is_122_pool():
+    from bootstrapper_tpu.models.unet import max_pool
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 8, 10, 3), jnp.float32)
+    ref = max_pool(x, (1, 2, 2))
+    got = F.folded_phase_max(F.fold(x))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_folded_conv_pass_matches():
+    key = jax.random.PRNGKey(5)
+    params = conv_pass_init(key, 2, 4, [(3, 3, 3), (3, 3, 3)])
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 9, 12, 14, 2), jnp.float32)
+    ref = conv_pass_apply(params, x, [(3, 3, 3), (3, 3, 3)],
+                          compute_dtype=jnp.float32)
+    got = F.unfold(
+        F.folded_conv_pass(params, F.fold(x), [(3, 3, 3), (3, 3, 3)],
+                           compute_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-5)
+
+
+def _unet_pair(cfg, shape):
+    params = unet_init(jax.random.PRNGKey(7), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, *shape, cfg.in_channels),
+                          jnp.float32)
+    base = unet_apply(
+        params, x,
+        UNetConfig(**{**dataclass_dict(cfg), "fold_xy": False}),
+        compute_dtype=jnp.float32,
+    )
+    folded = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+    return base, folded
+
+
+def dataclass_dict(cfg):
+    import dataclasses
+
+    return {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+
+
+def test_unet_fold_exact():
+    cfg = small_cfg()
+    base, folded = _unet_pair(cfg, (20, 52, 56))
+    assert len(base) == len(folded) == 1
+    np.testing.assert_allclose(np.asarray(folded[0]), np.asarray(base[0]),
+                               rtol=0, atol=2e-5)
+
+
+def test_unet_fold_exact_flat_kernels():
+    # the 'from'-net shape: (1,3,3) kernels in the first levels
+    cfg = small_cfg(
+        kernel_size_down=[[[1, 3, 3], [1, 3, 3]], [[3, 3, 3], [3, 3, 3]],
+                          [[3, 3, 3], [3, 3, 3]]],
+        in_channels=6,
+    )
+    base, folded = _unet_pair(cfg, (8, 52, 56))
+    np.testing.assert_allclose(np.asarray(folded[0]), np.asarray(base[0]),
+                               rtol=0, atol=2e-5)
+
+
+def test_unet_fold_multihead():
+    cfg = small_cfg(num_heads=2)
+    base, folded = _unet_pair(cfg, (20, 52, 56))
+    for b, f in zip(base, folded):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(b), rtol=0,
+                                   atol=2e-5)
+
+
+def test_fold_eligibility_guards():
+    from bootstrapper_tpu.models.unet import _fold_eligible
+
+    cfg = small_cfg()
+    x = jnp.zeros((1, 20, 52, 56, 1))
+    assert _fold_eligible(cfg, x)
+    # odd xy input
+    assert not _fold_eligible(cfg, jnp.zeros((1, 20, 53, 56, 1)))
+    # z-downsampling first level
+    assert not _fold_eligible(
+        small_cfg(downsample_factors=[[2, 2, 2], [1, 2, 2]]), x
+    )
+    # disabled by flag
+    assert not _fold_eligible(small_cfg(fold_xy=False), x)
+
+
+def test_model_fold_exact_and_grads():
+    nc = dict(Model.from_setup("3d_affs").net_config)
+    nc.update(num_fmaps=2, fmap_inc_factor=2,
+              input_shape=[32, 100, 100], output_shape=[4, 8, 8],
+              shape_increase=[0, 0, 0])
+    m_fold = Model(nc, compute_dtype=jnp.float32)
+    params = m_fold.init(jax.random.PRNGKey(11))
+    x = jax.random.normal(jax.random.PRNGKey(12), (1, 32, 100, 100, 1),
+                          jnp.float32)
+
+    y_fold = m_fold.apply(params, x)["3d_affs"]
+
+    from bootstrapper_tpu.models import unet as U
+
+    orig = U._fold_eligible
+    try:
+        U._fold_eligible = lambda *a: False
+        y_base = m_fold.apply(params, x)["3d_affs"]
+    finally:
+        U._fold_eligible = orig
+    np.testing.assert_allclose(np.asarray(y_fold), np.asarray(y_base),
+                               rtol=0, atol=2e-5)
+
+    def loss_fold(p):
+        return jnp.sum(m_fold.apply(p, x)["3d_affs"] ** 2)
+
+    g_fold = jax.grad(loss_fold)(params)
+    try:
+        U._fold_eligible = lambda *a: False
+        g_base = jax.grad(loss_fold)(params)
+    finally:
+        U._fold_eligible = orig
+    from jax.flatten_util import ravel_pytree
+
+    flat_f, _ = ravel_pytree(g_fold)
+    flat_b, _ = ravel_pytree(g_base)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_b),
+                               rtol=0, atol=5e-4)
