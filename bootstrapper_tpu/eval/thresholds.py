@@ -10,10 +10,9 @@ threshold by VOI sum and by NERL.
 Efficient design: skeleton nodes are looked up in the *fragments*
 volume once; each threshold then only needs the LUT gather (no
 segmentation extraction).  Voxel-wise VOI uses one
-``replace_values`` over the fragments volume per threshold.
-The reference's min-cut edit counts (funlib ``split_graph``) are
-approximated by the per-skeleton split counts and per-segment merge
-counts from the skeleton metrics.
+``replace_values`` over the fragments volume per threshold.  Edit
+counts (splits/merges needed) are exact recursive min-cuts over each
+merging segment's RAG (``mincut.py``, funlib ``split_graph`` parity).
 """
 
 from __future__ import annotations
@@ -28,6 +27,7 @@ from .. import native
 from ..core.arrays import Array
 from ..core.geometry import Coordinate
 from ..post.rag import RagDB
+from .mincut import compute_edits
 from .skeletons import expected_run_length, load_skeletons
 from .voi import rand_voi
 
@@ -84,11 +84,17 @@ def evaluate_thresholds(
                 for node, f in node_frag.items()
             }
             entry["skeletons"] = expected_run_length(skels, ids)
-            entry["edits"] = {
-                # funlib split_graph min-cut analog: count-based estimate
-                "splits_needed": entry["skeletons"]["merge_count"],
-                "merges_needed": entry["skeletons"]["split_count"],
-            }
+            entry["edits"] = compute_edits(
+                list(nx.connected_components(skels)),
+                node_frag,
+                ids,
+                node_ids,
+                lut_new,
+                eu,
+                ev,
+                scores,
+                float(t),
+            )
         if frags_vox is not None:
             seg = native.replace_values(frags_vox, node_ids, lut_new)
             voi = rand_voi(gt_vox, seg)
@@ -112,5 +118,13 @@ def evaluate_thresholds(
         summary["best_nerl"] = {
             "threshold": best_nerl,
             **results[best_nerl]["skeletons"],
+        }
+        best_edits = min(
+            results,
+            key=lambda t: results[t]["edits"]["splits_needed"]
+            + results[t]["edits"]["merges_needed"],
+        )
+        summary["best_edits"] = {
+            "threshold": best_edits, **results[best_edits]["edits"]
         }
     return summary
