@@ -29,17 +29,96 @@ processes/hosts can each run a shard of the block grid (``block_stride``
 from __future__ import annotations
 
 import logging
+import os
+import sqlite3
+import subprocess
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Callable, Optional, Sequence
+from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
 from .geometry import Coordinate, Roi
 
 logger = logging.getLogger(__name__)
+
+
+class Ledger:
+    """SQLite completion ledger shared by cooperating processes/hosts.
+
+    Records which (task, block_id) pairs completed, so a crashed worker's
+    shard can be re-run skipping finished blocks, and so stride-sharded
+    workers can barrier on global phase/stage completion by polling
+    counts.  WAL mode: many readers, short writes (same pattern as the
+    RAG store). The daisy analog is the central scheduler's block state,
+    made store-mediated (reference ``daisy`` usage at ``predict.py:27-44``).
+    """
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with self._connect() as conn:
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS done ("
+                "task TEXT NOT NULL, block_id INTEGER NOT NULL, "
+                "PRIMARY KEY (task, block_id))"
+            )
+
+    def _connect(self):
+        conn = sqlite3.connect(self.path, timeout=60.0)
+        conn.execute("PRAGMA journal_mode=WAL")
+        conn.execute("PRAGMA synchronous=NORMAL")
+        return conn
+
+    def done_blocks(self, task: str) -> set:
+        with self._connect() as conn:
+            rows = conn.execute(
+                "SELECT block_id FROM done WHERE task=?", (task,)
+            ).fetchall()
+        return {r[0] for r in rows}
+
+    def mark_done(self, task: str, block_id: int):
+        with self._connect() as conn:
+            conn.execute(
+                "INSERT OR IGNORE INTO done (task, block_id) VALUES (?, ?)",
+                (task, block_id),
+            )
+
+    def count_done(self, task: str, block_ids: Optional[Sequence[int]] = None):
+        with self._connect() as conn:
+            if block_ids is None:
+                return conn.execute(
+                    "SELECT COUNT(*) FROM done WHERE task=?", (task,)
+                ).fetchone()[0]
+            ids = list(int(b) for b in block_ids)
+            q = ",".join("?" * len(ids))
+            return conn.execute(
+                f"SELECT COUNT(*) FROM done WHERE task=? AND block_id IN ({q})",
+                (task, *ids),
+            ).fetchone()[0]
+
+    def wait_for(
+        self,
+        task: str,
+        block_ids: Sequence[int],
+        timeout: float = 3600.0,
+        poll: float = 0.2,
+    ):
+        """Block until every id in ``block_ids`` is marked done (the
+        cross-process phase/stage barrier)."""
+        want = len(set(int(b) for b in block_ids))
+        deadline = time.monotonic() + timeout
+        while True:
+            if self.count_done(task, block_ids) >= want:
+                return
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"ledger barrier timed out: task {task!r} "
+                    f"({self.count_done(task, block_ids)}/{want} blocks)"
+                )
+            time.sleep(poll)
 
 
 @dataclass
@@ -78,6 +157,19 @@ class BlockwiseTask:
     # fault injection: probability that a block raises on each attempt
     # (exercises the retry ledger; used by tests/chaos runs)
     inject_fault_rate: float = 0.0
+    # completion ledger (SQLite path): completed blocks are recorded and
+    # skipped on re-runs; with stride sharding it also provides the
+    # cross-process phase barrier for read-write-conflict tasks
+    ledger: Optional[str] = None
+    barrier_timeout: float = 3600.0
+
+    def all_blocks(self) -> list:
+        """The full write grid, ignoring stride sharding."""
+        stride, self.block_stride = self.block_stride, 1
+        try:
+            return self.blocks()
+        finally:
+            self.block_stride = stride
 
     def blocks(self) -> list:
         """Enumerate the write grid with block ids and grown read ROIs."""
@@ -158,10 +250,29 @@ def run_blockwise(
     task: BlockwiseTask,
     progress_every: float = 10.0,
 ) -> TaskResult:
-    """Execute all blocks with retries and wave scheduling."""
-    blocks = task.blocks()
-    phases = task._phases(blocks)
+    """Execute all blocks with retries and wave scheduling.
+
+    With a ledger, completed blocks are skipped on re-runs and each
+    completion is recorded.  With stride sharding *and* read-write
+    conflicts, every process works through the same global wave order and
+    barriers on the ledger between waves, so neighbouring blocks never
+    run concurrently across processes either."""
+    full = task.all_blocks()
+    phases = task._phases(full)
+    sharded = task.block_stride > 1
+    ledger = Ledger(task.ledger) if task.ledger else None
+    if sharded and task.read_write_conflict and ledger is None:
+        raise ValueError(
+            f"task {task.name!r}: stride-sharded read-write-conflict "
+            "tasks need a ledger for the cross-process wave barrier"
+        )
+    prior = ledger.done_blocks(task.name) if ledger else set()
     t0 = time.perf_counter()
+    n_total = sum(
+        1
+        for b in full
+        if not sharded or b.block_id % task.block_stride == task.block_offset
+    )
     done = 0
     failed = 0
     skipped = 0
@@ -210,6 +321,8 @@ def run_blockwise(
                 finally:
                     if task.audit:
                         _audit_exit(block)
+                if ledger is not None:
+                    ledger.mark_done(task.name, block.block_id)
                 with lock:
                     if result == "skipped":
                         skipped += 1
@@ -221,7 +334,7 @@ def run_blockwise(
                         logger.info(
                             "%s: %d/%d blocks (%.1fs)",
                             task.name, done + failed + skipped,
-                            len(blocks), now - t0,
+                            n_total, now - t0,
                         )
                 return
             except Exception as e:  # retry
@@ -240,9 +353,36 @@ def run_blockwise(
                     task.name, block.block_id, attempt + 1, e,
                 )
 
+    n_blocks = 0
     for phase in phases:
+        mine = [
+            b
+            for b in phase
+            if not sharded
+            or b.block_id % task.block_stride == task.block_offset
+        ]
+        n_blocks += len(mine)
+        todo = [b for b in mine if b.block_id not in prior]
+        skipped += len(mine) - len(todo)
         with ThreadPoolExecutor(max_workers=task.num_workers) as pool:
-            list(pool.map(run_block, phase))
+            list(pool.map(run_block, todo))
+        if failed:
+            break  # don't barrier on blocks this process failed to finish
+        if ledger is not None and sharded and task.read_write_conflict:
+            ledger.wait_for(
+                task.name,
+                [b.block_id for b in phase],
+                timeout=task.barrier_timeout,
+            )
+
+    if ledger is not None and sharded and not failed:
+        # end-of-stage barrier: downstream stages read this stage's full
+        # output, so wait for every shard's blocks
+        ledger.wait_for(
+            task.name,
+            [b.block_id for b in full],
+            timeout=task.barrier_timeout,
+        )
 
     if task.audit and violations:
         raise RuntimeError(
@@ -251,13 +391,72 @@ def run_blockwise(
         )
     return TaskResult(
         task.name,
-        len(blocks),
+        n_blocks,
         done,
         failed,
         skipped,
         time.perf_counter() - t0,
         errors,
     )
+
+
+def run_sharded_subprocesses(
+    make_argv: Callable[[int, int], List[str]],
+    num_workers: int,
+    max_restarts: int = 2,
+    env: Optional[dict] = None,
+    poll: float = 0.5,
+) -> None:
+    """Crash-isolated multi-process driver (the daisy worker-pool analog,
+    reference ``bootstrapper/predict.py:27-50``).
+
+    Spawns ``num_workers`` subprocesses, worker *i* running
+    ``make_argv(i, num_workers)`` — typically the same CLI command with
+    ``block_offset=i`` / ``block_stride=num_workers`` and a shared
+    ledger.  A worker that dies (crash, segfault, OOM-kill) is respawned
+    up to ``max_restarts`` times; the ledger makes the re-run skip
+    completed blocks.  Raises if any shard ultimately fails."""
+    procs = {}
+    restarts = {i: 0 for i in range(num_workers)}
+    failed = {}
+
+    def spawn(i):
+        argv = make_argv(i, num_workers)
+        logger.info("worker %d: spawning %s", i, argv)
+        procs[i] = subprocess.Popen(argv, env=env)
+
+    for i in range(num_workers):
+        spawn(i)
+    try:
+        while procs:
+            time.sleep(poll)
+            for i, p in list(procs.items()):
+                rc = p.poll()
+                if rc is None:
+                    continue
+                del procs[i]
+                if rc == 0:
+                    continue
+                if restarts[i] < max_restarts:
+                    restarts[i] += 1
+                    logger.warning(
+                        "worker %d exited rc=%d; restart %d/%d",
+                        i, rc, restarts[i], max_restarts,
+                    )
+                    spawn(i)
+                else:
+                    failed[i] = rc
+            if failed:
+                break  # kill remaining workers: they may barrier-wait on
+                # blocks the failed shard will never finish
+    finally:
+        for p in procs.values():
+            p.terminate()
+    if failed:
+        raise RuntimeError(
+            f"sharded workers failed after retries: {failed} "
+            f"(restarts: { {i: n for i, n in restarts.items() if n} })"
+        )
 
 
 def run_blockwise_or_raise(task: BlockwiseTask, **kw) -> TaskResult:

@@ -145,6 +145,59 @@ def folded_concat(af, bf):
     return out.reshape(n, d, hf, wf, ca4 + cb4)
 
 
+def folded_upsample_linear(g):
+    """(1,2,2) linear upsample of an UNFOLDED half-res array, produced
+    directly in folded layout (N, D, h, w, 4C) — the full-resolution
+    tensor is never materialised.
+
+    Matches ``jax.image.resize(method='linear')`` (half-pixel, edge
+    clamp): out[2i] = 0.25*g[i-1] + 0.75*g[i], out[2i+1] = 0.75*g[i] +
+    0.25*g[i+1].
+    """
+    def taps(x, axis):
+        pad_lo = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        pad_hi = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
+                                      axis=axis)
+        p = jnp.concatenate([pad_lo, x, pad_hi], axis=axis)
+        n = x.shape[axis]
+        lo = jax.lax.slice_in_dim(p, 0, n, axis=axis)
+        mid = jax.lax.slice_in_dim(p, 1, n + 1, axis=axis)
+        hi = jax.lax.slice_in_dim(p, 2, n + 2, axis=axis)
+        return 0.25 * lo + 0.75 * mid, 0.75 * mid + 0.25 * hi
+
+    y0, y1 = taps(g, 2)
+    phases = []
+    for ph_y in (y0, y1):
+        x0, x1 = taps(ph_y, 3)
+        phases.extend([x0, x1])
+    out = jnp.stack(phases, axis=-2)  # (n, d, h, w, 4, c) phase-major
+    n, d, h, w, _, c = out.shape
+    return out.reshape(n, d, h, w, 4 * c).astype(g.dtype)
+
+
+def folded_crop_to_factor(xf, factor, kernel_sizes):
+    """Folded equivalent of ``crop_to_factor`` (translation-equivariance
+    crop before the next conv pass).  Returns None if the target extent
+    is xy-odd (caller falls back to the unfolded path)."""
+    spatial = folded_spatial(xf)
+    dims = len(factor)
+    conv_crop = tuple(
+        sum(k[d] - 1 for k in kernel_sizes) for d in range(dims)
+    )
+    ns = tuple((s - c) // f for s, c, f in zip(spatial, conv_crop, factor))
+    target = tuple(n * f + c for n, c, f in zip(ns, conv_crop, factor))
+    if target == spatial:
+        return xf
+    if not all(t > c for t, c in zip(target, conv_crop)):
+        raise ValueError(
+            f"feature map {spatial} too small for factor {factor} "
+            f"and convs {kernel_sizes}"
+        )
+    if target[1] % 2 or target[2] % 2:
+        return None
+    return folded_center_crop(xf, target)
+
+
 def folded_conv_pass(
     params, xf, kernel_sizes, activation="relu", compute_dtype=jnp.bfloat16
 ):

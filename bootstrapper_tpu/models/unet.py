@@ -400,30 +400,43 @@ def unet_apply(
     gs_out = rec(cfg.num_levels - 2, g_in)
     fs_out = []
     for h in range(cfg.num_heads):
-        if cfg.constant_upsample:
-            g_up = upsample_resize(gs_out[h], cfg.downsample_factors[0])
-        else:
-            up = params["r_up"][h][0]
-            g_up = upsample_transposed(
-                gs_out[h], up["w"], up["b"], cfg.downsample_factors[0],
-                compute_dtype,
+        g_up_f = None
+        if cfg.constant_upsample and cfg.padding == "valid":
+            # fold the (1,2,2) linear upsample itself: the full-res
+            # tensor is produced directly in folded layout
+            g_f = F.folded_upsample_linear(gs_out[h])
+            g_up_f = F.folded_crop_to_factor(
+                g_f, crop_factors[0], cfg.kernel_size_up[0]
             )
-        if cfg.padding == "valid":
-            g_up = crop_to_factor(g_up, crop_factors[0], cfg.kernel_size_up[0])
-        if g_up.shape[2] % 2 or g_up.shape[3] % 2:
-            # odd upsampled extent: finish this head unfolded
-            f_left = F.unfold(f_left_f)
-            f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
-            f_right = jnp.concatenate([f_crop, g_up], axis=-1)
-            fs_out.append(
-                conv_pass_apply(
-                    params["r_conv"][h][0], f_right, cfg.kernel_size_up[0],
-                    cfg.activation, compute_dtype,
+        if g_up_f is None:
+            if cfg.constant_upsample:
+                g_up = upsample_resize(gs_out[h], cfg.downsample_factors[0])
+            else:
+                up = params["r_up"][h][0]
+                g_up = upsample_transposed(
+                    gs_out[h], up["w"], up["b"], cfg.downsample_factors[0],
+                    compute_dtype,
                 )
-            )
-            continue
-        g_up_f = F.fold(g_up)
-        f_crop_f = F.folded_center_crop(f_left_f, g_up.shape[1 : 1 + dims])
+            if cfg.padding == "valid":
+                g_up = crop_to_factor(
+                    g_up, crop_factors[0], cfg.kernel_size_up[0]
+                )
+            if g_up.shape[2] % 2 or g_up.shape[3] % 2:
+                # odd upsampled extent: finish this head unfolded
+                f_left = F.unfold(f_left_f)
+                f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
+                f_right = jnp.concatenate([f_crop, g_up], axis=-1)
+                fs_out.append(
+                    conv_pass_apply(
+                        params["r_conv"][h][0], f_right,
+                        cfg.kernel_size_up[0], cfg.activation, compute_dtype,
+                    )
+                )
+                continue
+            g_up_f = F.fold(g_up)
+        f_crop_f = F.folded_center_crop(
+            f_left_f, F.folded_spatial(g_up_f)
+        )
         f_right_f = F.folded_concat(f_crop_f, g_up_f)
         out_f = F.folded_conv_pass(
             params["r_conv"][h][0], f_right_f, cfg.kernel_size_up[0],

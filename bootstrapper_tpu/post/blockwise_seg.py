@@ -34,7 +34,7 @@ import numpy as np
 
 from .. import native
 from ..core.arrays import Array, open_ds, prepare_ds
-from ..core.blockwise import BlockwiseTask, run_blockwise_or_raise
+from ..core.blockwise import BlockwiseTask, Ledger, run_blockwise_or_raise
 from ..core.geometry import Coordinate, Roi
 from .fragments import mutex_watershed_from_affinities, watershed_from_affinities
 from .rag import RagDB
@@ -78,6 +78,10 @@ def extract_fragments_blockwise(
     num_workers: int = 8,
     roi: Optional[Roi] = None,
     audit: bool = False,
+    block_stride: int = 1,
+    block_offset: int = 0,
+    ledger: Optional[str] = None,
+    task_name: str = "extract_fragments",
 ):
     vs = affs.voxel_size
     total = roi or fragments.roi
@@ -174,7 +178,7 @@ def extract_fragments_blockwise(
         fragments[wroi] = frags
 
     task = BlockwiseTask(
-        name="extract_fragments",
+        name=task_name,
         total_roi=total,
         write_size=block_size,
         context_neg=context,
@@ -184,6 +188,9 @@ def extract_fragments_blockwise(
         read_write_conflict=False,
         num_workers=num_workers,
         audit=audit,
+        block_stride=block_stride,
+        block_offset=block_offset,
+        ledger=ledger,
     )
     return run_blockwise_or_raise(task)
 
@@ -197,6 +204,10 @@ def agglomerate_blockwise(
     merge_function: str = "mean",
     num_workers: int = 8,
     roi: Optional[Roi] = None,
+    block_stride: int = 1,
+    block_offset: int = 0,
+    ledger: Optional[str] = None,
+    task_name: str = "agglomerate",
 ):
     vs = affs.voxel_size
     total = roi or fragments.roi
@@ -220,7 +231,7 @@ def agglomerate_blockwise(
             rag.write_edges(eu.tolist(), ev.tolist(), es.tolist())
 
     task = BlockwiseTask(
-        name="agglomerate",
+        name=task_name,
         total_roi=total,
         write_size=block_size,
         context_neg=context,
@@ -229,6 +240,9 @@ def agglomerate_blockwise(
         fit="shrink",
         read_write_conflict=True,
         num_workers=num_workers,
+        block_stride=block_stride,
+        block_offset=block_offset,
+        ledger=ledger,
     )
     return run_blockwise_or_raise(task)
 
@@ -302,6 +316,10 @@ def extract_segmentation_blockwise(
     block_shape: Sequence[int],
     num_workers: int = 8,
     roi: Optional[Roi] = None,
+    block_stride: int = 1,
+    block_offset: int = 0,
+    ledger: Optional[str] = None,
+    task_name: Optional[str] = None,
 ):
     lut = np.load(lut_path)["fragment_segment_lut"]
     lut_old, lut_new = lut[0], lut[1]
@@ -317,19 +335,60 @@ def extract_segmentation_blockwise(
         segmentation[wroi] = native.replace_values(frags, lut_old, lut_new)
 
     task = BlockwiseTask(
-        name="extract_segmentation",
+        name=task_name
+        or f"extract_segmentation:{os.path.basename(lut_path)}",
         total_roi=total,
         write_size=block_size,
         context_neg=Coordinate.zeros(total.dims),
         context_pos=Coordinate.zeros(total.dims),
         process=process,
         num_workers=num_workers,
+        block_stride=block_stride,
+        block_offset=block_offset,
+        ledger=ledger,
     )
     return run_blockwise_or_raise(task)
 
 
 def _fmt_threshold(t: float) -> str:
     return f"{t:.3f}".rstrip("0").rstrip(".").replace(".", "_")
+
+
+def _run_sharded(func_name: str, kwargs: dict, workers: int):
+    """Spawn ``workers`` crash-isolated subprocesses, each running this
+    module's ``func_name`` over a stride-shard of the block grid (daisy
+    worker-pool analog, reference ``predict.py:27-50``)."""
+    import json
+    import sys
+
+    from ..core.blockwise import run_sharded_subprocesses
+
+    kw = dict(kwargs)
+    roi = kw.get("roi")
+    if roi is not None:
+        kw["roi"] = [list(roi.offset), list(roi.shape)]
+
+    def make_argv(i, n):
+        blob = json.dumps({**kw, "block_stride": n, "block_offset": i,
+                           "workers": 1})
+        code = (
+            "import json\n"
+            "from bootstrapper_tpu.post import blockwise_seg as B\n"
+            "from bootstrapper_tpu.core.geometry import Roi\n"
+            f"kw = json.loads({blob!r})\n"
+            "if kw.get('roi'):\n"
+            "    kw['roi'] = Roi(*kw['roi'])\n"
+            f"B.{func_name}(**kw)\n"
+        )
+        return [sys.executable, "-c", code]
+
+    run_sharded_subprocesses(make_argv, workers)
+
+
+def _fresh_ledger(path: str):
+    for suffix in ("", "-wal", "-shm"):
+        if os.path.exists(path + suffix):
+            os.remove(path + suffix)
 
 
 def waterz_pipeline_blockwise(
@@ -346,24 +405,74 @@ def waterz_pipeline_blockwise(
     replace_sections=None,
     num_workers: int = 8,
     roi: Optional[Roi] = None,
+    workers: int = 1,
+    block_stride: int = 1,
+    block_offset: int = 0,
+    ledger: Optional[str] = None,
 ) -> Dict[float, str]:
     """Full 4-stage pipeline; returns {threshold: segmentation path}.
 
     Dataset naming mirrors the reference's parameter-encoded scheme
     (``watershed.py:127-151``): fragments under ``fragments_ws``, segs
     under ``segmentations_ws/{merge_function}--{threshold}``.
+
+    ``workers > 1`` runs the pipeline in that many crash-isolated
+    subprocesses, each working a stride-shard of every block grid and
+    synchronising between stages through the completion ledger; the
+    LUT stage runs in shard 0 only.
     """
+    seg_name = lambda t: (
+        f"{output_container}/segmentations_ws/"
+        f"{merge_function}--{_fmt_threshold(t)}"
+    )
+    if workers > 1 and block_stride == 1:
+        ledger = ledger or f"{output_container}/ledger_ws.db"
+        _fresh_ledger(ledger)
+        _run_sharded(
+            "waterz_pipeline_blockwise",
+            dict(
+                affs_path=affs_path, output_container=output_container,
+                block_shape=list(block_shape),
+                context_voxels=list(context_voxels),
+                thresholds=list(thresholds), merge_function=merge_function,
+                fragments_in_xy=fragments_in_xy,
+                min_seed_distance=min_seed_distance,
+                filter_fragments=filter_fragments,
+                epsilon_agglomerate=epsilon_agglomerate,
+                replace_sections=replace_sections,
+                num_workers=num_workers, roi=roi, ledger=ledger,
+            ),
+            workers,
+        )
+        return {t: seg_name(t) for t in thresholds}
+
+    sharded = block_stride > 1
+    led = Ledger(ledger) if ledger else None
     affs = open_ds(affs_path)
     total = roi or affs.roi
     vs = affs.voxel_size
     vox_shape = tuple(Coordinate(total.shape) / vs)
+    chunk = tuple(min(b, s) for b, s in zip(block_shape, vox_shape))
 
     frag_path = f"{output_container}/fragments_ws"
-    fragments = prepare_ds(
-        frag_path, vox_shape, total.offset, vs, np.uint64,
-        chunk_shape=tuple(min(b, s) for b, s in zip(block_shape, vox_shape)),
-    )
-    rag = RagDB(f"{output_container}/rag_ws.db", mode="w")
+    rag_path = f"{output_container}/rag_ws.db"
+    if not sharded or block_offset == 0:
+        fragments = prepare_ds(
+            frag_path, vox_shape, total.offset, vs, np.uint64,
+            chunk_shape=chunk,
+        )
+        rag = RagDB(rag_path, mode="w")
+        for t in thresholds:
+            prepare_ds(
+                seg_name(t), vox_shape, total.offset, vs, np.uint64,
+                chunk_shape=chunk,
+            )
+        if led:
+            led.mark_done("setup_ws", 0)
+    else:
+        led.wait_for("setup_ws", [0])
+        fragments = open_ds(frag_path, mode="r+")
+        rag = RagDB(rag_path, mode="r+")
 
     extract_fragments_blockwise(
         affs, fragments, rag, block_shape, context_voxels,
@@ -374,30 +483,37 @@ def waterz_pipeline_blockwise(
         replace_sections=replace_sections,
         num_workers=num_workers,
         roi=total,
+        block_stride=block_stride, block_offset=block_offset,
+        ledger=ledger, task_name="extract_fragments_ws",
     )
     agglomerate_blockwise(
         affs, fragments, rag, block_shape, context_voxels,
         merge_function=merge_function, num_workers=num_workers, roi=total,
+        block_stride=block_stride, block_offset=block_offset,
+        ledger=ledger, task_name="agglomerate_ws",
     )
-    luts = find_segments(
-        rag, f"{output_container}/luts_ws", thresholds
-    )
+    lut_dir = f"{output_container}/luts_ws"
+    if not sharded or block_offset == 0:
+        luts = find_segments(rag, lut_dir, thresholds)
+        if led:
+            led.mark_done("luts_ws", 0)
+    else:
+        led.wait_for("luts_ws", [0])
+        luts = {
+            t: os.path.join(
+                lut_dir, f"seg_frags2local_{_fmt_threshold(t)}.npz"
+            )
+            for t in thresholds
+        }
     seg_paths = {}
     for t, lut_path in luts.items():
-        seg_path = (
-            f"{output_container}/segmentations_ws/"
-            f"{merge_function}--{_fmt_threshold(t)}"
-        )
-        seg = prepare_ds(
-            seg_path, vox_shape, total.offset, vs, np.uint64,
-            chunk_shape=tuple(
-                min(b, s) for b, s in zip(block_shape, vox_shape)
-            ),
-        )
+        seg = open_ds(seg_name(t), mode="r+")
         extract_segmentation_blockwise(
-            fragments, seg, lut_path, block_shape, num_workers, roi=total
+            fragments, seg, lut_path, block_shape, num_workers, roi=total,
+            block_stride=block_stride, block_offset=block_offset,
+            ledger=ledger,
         )
-        seg_paths[t] = seg_path
+        seg_paths[t] = seg_name(t)
     return seg_paths
 
 
@@ -411,21 +527,59 @@ def mws_pipeline_blockwise(
     filter_fragments: float = 0.1,
     num_workers: int = 8,
     roi: Optional[Roi] = None,
+    workers: int = 1,
+    block_stride: int = 1,
+    block_offset: int = 0,
+    ledger: Optional[str] = None,
     **mws_kwargs,
 ) -> Dict[str, str]:
     """Blockwise mutex pipeline (volara ExtractFrags/AffAgglom/GraphMWS/
-    Relabel capability)."""
+    Relabel capability).  ``workers > 1``: see waterz_pipeline_blockwise."""
+    seg_path = f"{output_container}/segmentations_mws/mws"
+    if workers > 1 and block_stride == 1:
+        ledger = ledger or f"{output_container}/ledger_mws.db"
+        _fresh_ledger(ledger)
+        _run_sharded(
+            "mws_pipeline_blockwise",
+            dict(
+                affs_path=affs_path, output_container=output_container,
+                neighborhood=[list(o) for o in neighborhood],
+                bias=list(bias), block_shape=list(block_shape),
+                context_voxels=list(context_voxels),
+                filter_fragments=filter_fragments,
+                num_workers=num_workers, roi=roi, ledger=ledger,
+                **mws_kwargs,
+            ),
+            workers,
+        )
+        return {"mws": seg_path}
+
+    sharded = block_stride > 1
+    led = Ledger(ledger) if ledger else None
     affs = open_ds(affs_path)
     total = roi or affs.roi
     vs = affs.voxel_size
     vox_shape = tuple(Coordinate(total.shape) / vs)
+    chunk = tuple(min(b, s) for b, s in zip(block_shape, vox_shape))
 
     frag_path = f"{output_container}/fragments_mws"
-    fragments = prepare_ds(
-        frag_path, vox_shape, total.offset, vs, np.uint64,
-        chunk_shape=tuple(min(b, s) for b, s in zip(block_shape, vox_shape)),
-    )
-    rag = RagDB(f"{output_container}/rag_mws.db", mode="w")
+    rag_path = f"{output_container}/rag_mws.db"
+    if not sharded or block_offset == 0:
+        fragments = prepare_ds(
+            frag_path, vox_shape, total.offset, vs, np.uint64,
+            chunk_shape=chunk,
+        )
+        rag = RagDB(rag_path, mode="w")
+        prepare_ds(
+            seg_path, vox_shape, total.offset, vs, np.uint64,
+            chunk_shape=chunk,
+        )
+        if led:
+            led.mark_done("setup_mws", 0)
+    else:
+        led.wait_for("setup_mws", [0])
+        fragments = open_ds(frag_path, mode="r+")
+        rag = RagDB(rag_path, mode="r+")
 
     extract_fragments_blockwise(
         affs, fragments, rag, block_shape, context_voxels,
@@ -433,18 +587,26 @@ def mws_pipeline_blockwise(
         filter_fragments=filter_fragments,
         mws_kwargs={"neighborhood": neighborhood, "bias": bias, **mws_kwargs},
         num_workers=num_workers, roi=total,
+        block_stride=block_stride, block_offset=block_offset,
+        ledger=ledger, task_name="extract_fragments_mws",
     )
     agglomerate_blockwise(
         affs, fragments, rag, block_shape, context_voxels,
         merge_function="mean", num_workers=num_workers, roi=total,
+        block_stride=block_stride, block_offset=block_offset,
+        ledger=ledger, task_name="agglomerate_mws",
     )
-    luts = global_mutex_segments(rag, f"{output_container}/luts_mws")
-    seg_path = f"{output_container}/segmentations_mws/mws"
-    seg = prepare_ds(
-        seg_path, vox_shape, total.offset, vs, np.uint64,
-        chunk_shape=tuple(min(b, s) for b, s in zip(block_shape, vox_shape)),
-    )
+    lut_dir = f"{output_container}/luts_mws"
+    if not sharded or block_offset == 0:
+        luts = global_mutex_segments(rag, lut_dir)
+        if led:
+            led.mark_done("luts_mws", 0)
+    else:
+        led.wait_for("luts_mws", [0])
+        luts = {"mws": os.path.join(lut_dir, "seg_frags2local_mws.npz")}
+    seg = open_ds(seg_path, mode="r+")
     extract_segmentation_blockwise(
-        fragments, seg, luts["mws"], block_shape, num_workers, roi=total
+        fragments, seg, luts["mws"], block_shape, num_workers, roi=total,
+        block_stride=block_stride, block_offset=block_offset, ledger=ledger,
     )
     return {"mws": seg_path}

@@ -68,6 +68,16 @@ def run_segmentation(
             roi = Roi(cfg["roi_offset"], cfg["roi_shape"])
 
         if blockwise:
+            # multi-process scale-out: N crash-isolated subprocesses over
+            # stride-shards of the block grid (daisy worker analog)
+            workers = int(params.pop("workers", cfg.get("workers", 1)) or 1)
+            block_stride = int(params.pop("block_stride", 1))
+            block_offset = int(params.pop("block_offset", 0))
+            ledger = params.pop("ledger", cfg.get("ledger"))
+            shard_kw = dict(
+                workers=workers, block_stride=block_stride,
+                block_offset=block_offset, ledger=ledger,
+            )
             if mode == "ws":
                 segs = waterz_pipeline_blockwise(
                     affs_path,
@@ -83,6 +93,7 @@ def run_segmentation(
                     replace_sections=params.get("replace_sections"),
                     num_workers=cfg.get("num_workers", 8),
                     roi=roi,
+                    **shard_kw,
                 )
                 results[volume_name] = {str(k): v for k, v in segs.items()}
             elif mode == "mws":
@@ -98,6 +109,7 @@ def run_segmentation(
                     filter_fragments=params.get("filter_fragments", 0.1),
                     num_workers=cfg.get("num_workers", 8),
                     roi=roi,
+                    **shard_kw,
                     sigma=params.get("sigma"),
                     noise_eps=params.get("noise_eps"),
                     strides=params.get("strides"),

@@ -128,6 +128,16 @@ def test_unet_fold_multihead():
                                    atol=2e-5)
 
 
+def test_folded_upsample_matches_resize():
+    from bootstrapper_tpu.models.unet import upsample_resize
+
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 3, 5, 7, 4),
+                          jnp.float32)
+    ref = upsample_resize(x, (1, 2, 2))
+    got = F.unfold(F.folded_upsample_linear(x))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
 def test_fold_eligibility_guards():
     from bootstrapper_tpu.models.unet import _fold_eligible
 

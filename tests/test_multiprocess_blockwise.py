@@ -1,0 +1,231 @@
+"""Multi-process blockwise: completion ledger, crash-isolated sharded
+workers, and cross-process pipeline equivalence.
+
+Reference capability: daisy's worker-subprocess model with per-block
+retries (``bootstrapper/predict.py:27-50``)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from bootstrapper_tpu.core.blockwise import (
+    BlockwiseTask,
+    Ledger,
+    run_blockwise,
+    run_sharded_subprocesses,
+)
+from bootstrapper_tpu.core.geometry import Coordinate, Roi
+
+
+def _task(tmp_path, seen, **kw):
+    def process(block):
+        seen.append(block.block_id)
+
+    defaults = dict(
+        name="t",
+        total_roi=Roi((0, 0), (40, 40)),
+        write_size=Coordinate(10, 10),
+        context_neg=Coordinate(0, 0),
+        context_pos=Coordinate(0, 0),
+        process=process,
+        num_workers=2,
+    )
+    defaults.update(kw)
+    return BlockwiseTask(**defaults)
+
+
+class TestLedger:
+    def test_mark_and_query(self, tmp_path):
+        led = Ledger(str(tmp_path / "led.db"))
+        led.mark_done("a", 1)
+        led.mark_done("a", 2)
+        led.mark_done("b", 1)
+        assert led.done_blocks("a") == {1, 2}
+        assert led.count_done("a") == 2
+        assert led.count_done("a", [1, 5]) == 1
+        led.wait_for("a", [1, 2], timeout=1)
+
+    def test_wait_timeout(self, tmp_path):
+        led = Ledger(str(tmp_path / "led.db"))
+        with pytest.raises(TimeoutError):
+            led.wait_for("a", [7], timeout=0.3, poll=0.05)
+
+    def test_resume_skips_done_blocks(self, tmp_path):
+        seen = []
+        ledger = str(tmp_path / "led.db")
+        t = _task(tmp_path, seen, ledger=ledger)
+        r1 = run_blockwise(t)
+        assert r1.ok and r1.succeeded == 16 and sorted(seen) == list(range(16))
+        seen.clear()
+        r2 = run_blockwise(_task(tmp_path, seen, ledger=ledger))
+        assert r2.ok and r2.succeeded == 0 and r2.skipped == 16
+        assert seen == []
+
+    def test_sharded_conflict_without_ledger_rejected(self, tmp_path):
+        t = _task(
+            tmp_path, [], read_write_conflict=True,
+            context_neg=Coordinate(2, 2), context_pos=Coordinate(2, 2),
+            block_stride=2,
+        )
+        with pytest.raises(ValueError, match="ledger"):
+            run_blockwise(t)
+
+
+WORKER_SCRIPT = r"""
+import os, sys
+shard, marker_dir = int(sys.argv[1]), sys.argv[2]
+crash_flag = os.path.join(marker_dir, f"crashed_{shard}")
+if shard == 1 and not os.path.exists(crash_flag):
+    open(crash_flag, "w").write("x")
+    os._exit(139)  # simulated segfault on first attempt
+open(os.path.join(marker_dir, f"done_{shard}"), "w").write("ok")
+"""
+
+
+class TestShardedSubprocesses:
+    def test_crashed_worker_is_respawned(self, tmp_path):
+        script = tmp_path / "worker.py"
+        script.write_text(WORKER_SCRIPT)
+
+        def make_argv(i, n):
+            return [sys.executable, str(script), str(i), str(tmp_path)]
+
+        run_sharded_subprocesses(make_argv, 3, max_restarts=2, poll=0.05)
+        for i in range(3):
+            assert (tmp_path / f"done_{i}").exists()
+        assert (tmp_path / "crashed_1").exists()
+
+    def test_permanent_failure_raises(self, tmp_path):
+        def make_argv(i, n):
+            return [sys.executable, "-c", "import sys; sys.exit(3)"]
+
+        with pytest.raises(RuntimeError, match="failed after retries"):
+            run_sharded_subprocesses(make_argv, 2, max_restarts=1, poll=0.05)
+
+
+@pytest.fixture(scope="module")
+def affs_zarr(tmp_path_factory):
+    from bootstrapper_tpu.core.arrays import prepare_ds
+
+    root = tmp_path_factory.mktemp("mp_seg")
+    rng = np.random.default_rng(0)
+    # blocky ground truth -> crisp affinities
+    labels = np.zeros((8, 64, 64), np.uint64)
+    labels[:, :32, :32] = 1
+    labels[:, :32, 32:] = 2
+    labels[:, 32:, :] = 3
+    affs = np.zeros((3, 8, 64, 64), np.float32)
+    for c, off in enumerate([(1, 0, 0), (0, 1, 0), (0, 0, 1)]):
+        shifted = np.roll(labels, shift=[-o for o in off], axis=(0, 1, 2))
+        affs[c] = (labels == shifted) & (labels > 0)
+    affs += rng.uniform(0, 0.05, affs.shape).astype(np.float32)
+    affs = np.clip(affs, 0, 1)
+    path = str(root / "affs.zarr/affs")
+    ds = prepare_ds(
+        path, affs.shape, (0, 0, 0), (1, 1, 1), np.float32,
+        chunk_shape=(3, 4, 32, 32), axis_names=("c^", "z", "y", "x"),
+    )
+    ds[:] = affs
+    return path, str(root)
+
+
+PIPE_KW = dict(
+    block_shape=(4, 32, 32),
+    context_voxels=(1, 4, 4),
+    thresholds=[0.5],
+    num_workers=2,
+)
+
+
+@pytest.fixture(scope="module")
+def single_run(affs_zarr):
+    from bootstrapper_tpu.post.blockwise_seg import waterz_pipeline_blockwise
+
+    affs_path, root = affs_zarr
+    return waterz_pipeline_blockwise(affs_path, f"{root}/single.zarr",
+                                     **PIPE_KW)
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_matches_single_process(affs_zarr, single_run):
+    from bootstrapper_tpu.core.arrays import open_ds
+    from bootstrapper_tpu.post.blockwise_seg import waterz_pipeline_blockwise
+
+    affs_path, root = affs_zarr
+    single = single_run
+    multi = waterz_pipeline_blockwise(
+        affs_path, f"{root}/multi.zarr", workers=2, **PIPE_KW
+    )
+    f1 = open_ds(f"{root}/single.zarr/fragments_ws").to_ndarray()
+    f2 = open_ds(f"{root}/multi.zarr/fragments_ws").to_ndarray()
+    np.testing.assert_array_equal(f1, f2)
+    s1 = open_ds(single[0.5]).to_ndarray()
+    s2 = open_ds(multi[0.5]).to_ndarray()
+    np.testing.assert_array_equal(s1, s2)
+    # the ledger recorded the sharded run
+    led = Ledger(f"{root}/multi.zarr/ledger_ws.db")
+    assert led.count_done("extract_fragments_ws") > 0
+    assert led.count_done("agglomerate_ws") > 0
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_survives_worker_crash(affs_zarr, single_run, monkeypatch):
+    """A shard that dies mid-pipeline is respawned and completes via the
+    ledger (skipping already-done blocks)."""
+    from bootstrapper_tpu.core.arrays import open_ds
+    from bootstrapper_tpu.post import blockwise_seg as B
+
+    affs_path, root = affs_zarr
+    crash_flag = f"{root}/crash_once"
+
+    orig = B._run_sharded
+
+    def crashy(func_name, kwargs, workers):
+        import json
+
+        from bootstrapper_tpu.core.blockwise import run_sharded_subprocesses
+
+        kw = dict(kwargs)
+        roi = kw.get("roi")
+        if roi is not None:
+            kw["roi"] = [list(roi.offset), list(roi.shape)]
+
+        def make_argv(i, n):
+            blob = json.dumps({**kw, "block_stride": n, "block_offset": i,
+                               "workers": 1})
+            crash = (
+                "import os\n"
+                f"if {i} == 1 and not os.path.exists({crash_flag!r}):\n"
+                f"    open({crash_flag!r}, 'w').write('x')\n"
+                "    os._exit(139)\n"
+            )
+            code = (
+                crash
+                + "import json\n"
+                "from bootstrapper_tpu.post import blockwise_seg as B\n"
+                "from bootstrapper_tpu.core.geometry import Roi\n"
+                f"kw = json.loads({blob!r})\n"
+                "if kw.get('roi'):\n"
+                "    kw['roi'] = Roi(*kw['roi'])\n"
+                f"B.{func_name}(**kw)\n"
+            )
+            return [sys.executable, "-c", code]
+
+        run_sharded_subprocesses(make_argv, workers, max_restarts=2)
+
+    monkeypatch.setattr(B, "_run_sharded", crashy)
+    segs = B.waterz_pipeline_blockwise(
+        affs_path, f"{root}/crashy.zarr",
+        block_shape=(4, 32, 32), context_voxels=(1, 4, 4),
+        thresholds=[0.5], num_workers=2, workers=2,
+    )
+    assert os.path.exists(crash_flag)
+    f1 = open_ds(f"{root}/single.zarr/fragments_ws").to_ndarray()
+    f3 = open_ds(f"{root}/crashy.zarr/fragments_ws").to_ndarray()
+    np.testing.assert_array_equal(f1, f3)
+    s1 = open_ds(f"{root}/single.zarr/segmentations_ws/mean--0_5").to_ndarray()
+    s3 = open_ds(segs[0.5]).to_ndarray()
+    np.testing.assert_array_equal(s1, s3)
