@@ -121,12 +121,17 @@ def torch_to_params(state: Dict[str, np.ndarray], model: Model) -> dict:
 
 
 def convert_checkpoint(torch_path: str, setup_dir: str, out_path: str) -> str:
-    """CLI-facing: torch checkpoint -> our model_checkpoint file."""
-    import pickle
+    """CLI-facing: torch checkpoint -> our model_checkpoint file (npz
+    format, see ``train.loop.save_checkpoint``)."""
+    import numpy as np
+
+    from ..train.loop import _flatten_params
 
     model = Model.from_setup(setup_dir)
     state = load_torch_state_dict(torch_path)
     params = torch_to_params(state, model)
+    arrays = _flatten_params(params)
+    arrays["step"] = np.asarray(0)
     with open(out_path, "wb") as f:
-        pickle.dump({"step": 0, "params": params, "opt_state": None}, f)
+        np.savez(f, **arrays)
     return out_path

@@ -90,6 +90,28 @@ def folded_conv(xf, w, b, *, compute_dtype=jnp.bfloat16):
     return y + bf.astype(compute_dtype)
 
 
+def folded_conv_split(xfs, w, b, *, compute_dtype=jnp.bfloat16):
+    """Folded conv over an implicit channel concat of folded arrays:
+    original weights are split by each input's (unfolded) channel count,
+    folded separately, and the partial convs summed — the wide folded
+    concat is never materialised."""
+    off = 0
+    y = None
+    for xf in xfs:
+        c = xf.shape[-1] // 4
+        wf, _ = fold_conv_weights(w[..., off : off + c, :], b)
+        part = jax.lax.conv_general_dilated(
+            xf.astype(compute_dtype),
+            wf.astype(compute_dtype),
+            window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=_dim_numbers(3),
+        )
+        y = part if y is None else y + part
+        off += c
+    return y + jnp.tile(b, 4).astype(compute_dtype)
+
+
 def folded_spatial(xf) -> tuple:
     """Original (D, H, W) spatial extent represented by a folded array."""
     return (xf.shape[1], xf.shape[2] * 2, xf.shape[3] * 2)
@@ -202,16 +224,25 @@ def folded_conv_pass(
     params, xf, kernel_sizes, activation="relu", compute_dtype=jnp.bfloat16
 ):
     """Folded equivalent of ``conv_pass_apply``: N valid convs with
-    activations between, plus a centre-cropped 1x1 residual projection."""
+    activations between, plus a centre-cropped 1x1 residual projection.
+    ``xf`` may be a list of folded arrays (implicit channel concat)."""
     act = _ACTIVATIONS[activation]
-    out = xf
+    xfs = xf if isinstance(xf, (list, tuple)) else [xf]
     nlayers = len(params["layers"])
+    out = None
     for i, layer in enumerate(params["layers"]):
-        out = folded_conv(out, layer["w"], layer["b"], compute_dtype=compute_dtype)
+        if i == 0:
+            out = folded_conv_split(
+                xfs, layer["w"], layer["b"], compute_dtype=compute_dtype
+            )
+        else:
+            out = folded_conv(
+                out, layer["w"], layer["b"], compute_dtype=compute_dtype
+            )
         if i < nlayers - 1:
             out = act(out)
-    res = folded_conv(
-        xf,
+    res = folded_conv_split(
+        xfs,
         params["residual"]["w"],
         params["residual"]["b"],
         compute_dtype=compute_dtype,

@@ -173,21 +173,47 @@ def conv_pass_init(key, in_ch, out_ch, kernel_sizes, dtype=jnp.float32):
     return {"layers": layers, "residual": residual}
 
 
+def _conv_split(xs, w, b, compute_dtype=jnp.bfloat16):
+    """Conv over an *implicit* channel concat: sum of convs with
+    channel-split weights.  Equivalent to ``_conv(concat(xs), w, b)`` but
+    never materialises the wide concatenated tensor (the skip concat at
+    the deep levels is the HBM peak for large tiles)."""
+    off = 0
+    y = None
+    for x in xs:
+        c = x.shape[-1]
+        part = jax.lax.conv_general_dilated(
+            x.astype(compute_dtype),
+            w[..., off : off + c, :].astype(compute_dtype),
+            window_strides=(1,) * (w.ndim - 2),
+            padding="VALID",
+            dimension_numbers=_dim_numbers(w.ndim - 2),
+        )
+        y = part if y is None else y + part
+        off += c
+    return y + b.astype(compute_dtype)
+
+
 def conv_pass_apply(
     params, x, kernel_sizes, activation="relu", compute_dtype=jnp.bfloat16
 ):
+    """x may be a single array or a list of arrays treated as an implicit
+    channel concatenation (see ``_conv_split``)."""
     act = _ACTIVATIONS[activation]
-    out = x
+    xs = x if isinstance(x, (list, tuple)) else [x]
     n = len(params["layers"])
+    out = None
     for i, layer in enumerate(params["layers"]):
-        out = _conv(out, layer["w"], layer["b"], compute_dtype=compute_dtype)
+        if i == 0:
+            out = _conv_split(xs, layer["w"], layer["b"], compute_dtype)
+        else:
+            out = _conv(
+                out, layer["w"], layer["b"], compute_dtype=compute_dtype
+            )
         if i < n - 1:
             out = act(out)
-    res = _conv(
-        x,
-        params["residual"]["w"],
-        params["residual"]["b"],
-        compute_dtype=compute_dtype,
+    res = _conv_split(
+        xs, params["residual"]["w"], params["residual"]["b"], compute_dtype
     )
     dims = res.ndim - 2
     res = _center_crop(res, out.shape[1 : 1 + dims])
@@ -331,6 +357,48 @@ def _fold_eligible(cfg: UNetConfig, x) -> bool:
     return x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
 
 
+def _decode_level_folded(
+    params, f_left, g, i, h, cfg, crop_factors, compute_dtype
+):
+    """Decoder level in folded (2x2-xy space-to-depth) layout: folded
+    linear upsample + folded split-concat conv pass, unfolding only the
+    level's (narrow) output.  Returns None when the level is ineligible
+    (caller falls back to the unfolded path).  This avoids the wide
+    upsample/concat temporaries that are the HBM peak at large tiles."""
+    if not cfg.fold_xy or cfg.dims != 3 or not cfg.constant_upsample:
+        return None
+    if cfg.padding != "valid":
+        return None
+    if tuple(cfg.downsample_factors[i]) != (1, 2, 2):
+        return None
+    from .fold import can_fold_kernel
+
+    if not all(can_fold_kernel(k) for k in cfg.kernel_size_up[i]):
+        return None
+    from . import fold as F
+
+    g_f = F.folded_upsample_linear(g)
+    g_up_f = F.folded_crop_to_factor(g_f, crop_factors[i], cfg.kernel_size_up[i])
+    if g_up_f is None:  # odd target extent
+        return None
+    target = F.folded_spatial(g_up_f)
+    spatial = f_left.shape[1:4]
+    offsets = [(s - t) // 2 for s, t in zip(spatial, target)]
+    pad_h, pad_w = spatial[1] % 2, spatial[2] % 2
+    if pad_h or pad_w:
+        # pad to even for folding; the padded edge is never read because
+        # offsets+target <= the true extent
+        f_left = jnp.pad(
+            f_left, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0))
+        )
+    f_crop_f = F.folded_crop(F.fold(f_left), target, offsets)
+    out_f = F.folded_conv_pass(
+        params["r_conv"][h][i], [f_crop_f, g_up_f], cfg.kernel_size_up[i],
+        cfg.activation, compute_dtype,
+    )
+    return F.unfold(out_f)
+
+
 def unet_apply(
     params, x, cfg: UNetConfig, compute_dtype=jnp.bfloat16, return_folded=False
 ):
@@ -357,6 +425,13 @@ def unet_apply(
         gs_out = rec(level - 1, g_in)
         fs_out = []
         for h in range(cfg.num_heads):
+            folded = _decode_level_folded(
+                params, f_left, gs_out[h], i, h, cfg, crop_factors,
+                compute_dtype,
+            )
+            if folded is not None:
+                fs_out.append(folded)
+                continue
             if cfg.constant_upsample:
                 g_up = upsample_resize(gs_out[h], cfg.downsample_factors[i])
             else:
@@ -373,11 +448,10 @@ def unet_apply(
                     g_up, crop_factors[i], cfg.kernel_size_up[i]
                 )
             f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
-            f_right = jnp.concatenate([f_crop, g_up], axis=-1)
             fs_out.append(
                 conv_pass_apply(
                     params["r_conv"][h][i],
-                    f_right,
+                    [f_crop, g_up],  # implicit concat (see _conv_split)
                     cfg.kernel_size_up[i],
                     cfg.activation,
                     compute_dtype,
@@ -425,10 +499,9 @@ def unet_apply(
                 # odd upsampled extent: finish this head unfolded
                 f_left = F.unfold(f_left_f)
                 f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
-                f_right = jnp.concatenate([f_crop, g_up], axis=-1)
                 fs_out.append(
                     conv_pass_apply(
-                        params["r_conv"][h][0], f_right,
+                        params["r_conv"][h][0], [f_crop, g_up],
                         cfg.kernel_size_up[0], cfg.activation, compute_dtype,
                     )
                 )
@@ -437,10 +510,9 @@ def unet_apply(
         f_crop_f = F.folded_center_crop(
             f_left_f, F.folded_spatial(g_up_f)
         )
-        f_right_f = F.folded_concat(f_crop_f, g_up_f)
         out_f = F.folded_conv_pass(
-            params["r_conv"][h][0], f_right_f, cfg.kernel_size_up[0],
-            cfg.activation, compute_dtype,
+            params["r_conv"][h][0], [f_crop_f, g_up_f],
+            cfg.kernel_size_up[0], cfg.activation, compute_dtype,
         )
         fs_out.append(out_f if return_folded else F.unfold(out_f))
     return fs_out

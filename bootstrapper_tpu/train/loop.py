@@ -148,20 +148,55 @@ def shard_train_step(step_fn, mesh) -> Callable:
 _CKPT_RE = re.compile(r"model_checkpoint_(\d+)$")
 
 
+def _flatten_params(params, prefix="params"):
+    """Nested dict/list pytree -> {slash/path: array} (self-describing,
+    no pickled class paths — survives refactors and library upgrades)."""
+    out = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            out.update(_flatten_params(v, f"{prefix}/{k}"))
+    elif isinstance(params, (list, tuple)):
+        for i, v in enumerate(params):
+            out.update(_flatten_params(v, f"{prefix}/{i}"))
+    else:
+        out[prefix] = np.asarray(params)
+    return out
+
+
+def _unflatten_params(flat: dict):
+    root: dict = {}
+    for path, arr in flat.items():
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        keys = list(node)
+        if keys and all(k.isdigit() for k in keys):
+            return [listify(node[str(i)]) for i in range(len(keys))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root.get("params", root))
+
+
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int) -> str:
+    """Write ``model_checkpoint_{step}``: an npz with path-keyed params
+    plus flat-ordered optimiser leaves (restored against a fresh
+    ``tx.init`` structure — no pickled optax classes)."""
     os.makedirs(ckpt_dir, exist_ok=True)
     path = os.path.join(ckpt_dir, f"model_checkpoint_{step}")
-    host_state = jax.tree_util.tree_map(np.asarray, state)
+    host = jax.tree_util.tree_map(np.asarray, state)
+    arrays = _flatten_params(host.params)
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(host.opt_state)):
+        arrays[f"opt/{i:04d}"] = np.asarray(leaf)
+    arrays["step"] = np.asarray(int(host.step))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(
-            {
-                "step": int(host_state.step),
-                "params": host_state.params,
-                "opt_state": host_state.opt_state,
-            },
-            f,
-        )
+        np.savez(f, **arrays)
     os.replace(tmp, path)
     return path
 
@@ -178,19 +213,51 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return best
 
 
-def load_checkpoint(path: str, tx=None) -> TrainState:
+def _is_npz(path: str) -> bool:
     with open(path, "rb") as f:
-        data = pickle.load(f)
-    opt_state = data["opt_state"]
-    return TrainState(
-        jnp.asarray(data["step"], jnp.int32), data["params"], opt_state
+        return f.read(2) == b"PK"
+
+
+def load_checkpoint(path: str, tx=None) -> TrainState:
+    """Load a checkpoint.  With ``tx``, the optimiser state is restored
+    into a fresh ``tx.init(params)`` structure; without it, opt leaves
+    are dropped (prediction).  Legacy pickle checkpoints still load."""
+    if not _is_npz(path):  # legacy pickle checkpoint
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        return TrainState(
+            jnp.asarray(data["step"], jnp.int32),
+            data["params"],
+            data["opt_state"],
+        )
+    data = np.load(path)
+    params = _unflatten_params(
+        {k: data[k] for k in data.files if k.startswith("params/")}
     )
+    step = jnp.asarray(int(data["step"]), jnp.int32)
+    opt_state = None
+    if tx is not None:
+        template = tx.init(params)
+        leaves, treedef = jax.tree_util.tree_flatten(template)
+        saved = sorted(k for k in data.files if k.startswith("opt/"))
+        if len(saved) == len(leaves):
+            opt_state = jax.tree_util.tree_unflatten(
+                treedef, [data[k] for k in saved]
+            )
+        else:  # optimiser changed shape: fresh init
+            opt_state = template
+    return TrainState(step, params, opt_state)
 
 
 def load_params(path: str):
     """Load just the params from a checkpoint (for prediction)."""
-    with open(path, "rb") as f:
-        data = pickle.load(f)
-    if isinstance(data, dict) and "params" in data:
-        return data["params"]
-    return data
+    if not _is_npz(path):
+        with open(path, "rb") as f:
+            data = pickle.load(f)
+        if isinstance(data, dict) and "params" in data:
+            return data["params"]
+        return data
+    data = np.load(path)
+    return _unflatten_params(
+        {k: data[k] for k in data.files if k.startswith("params/")}
+    )

@@ -110,7 +110,7 @@ def run_training(config_file: str, **overrides) -> dict:
     ckpt = latest_checkpoint(setup_dir)
     start_iter = 0
     if ckpt:
-        state = load_checkpoint(ckpt)
+        state = load_checkpoint(ckpt, tx)
         start_iter = int(state.step)
         logger.info("resuming from %s (iteration %d)", ckpt, start_iter)
 
