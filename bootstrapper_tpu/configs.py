@@ -20,10 +20,51 @@ import json
 import os
 from typing import Dict, List, Optional, Sequence
 
+import logging
+
 from .models.zoo import SETUPS, write_net_config
 from .utils import tomlio
 
+logger = logging.getLogger(__name__)
+
 MODEL_NAMES = list(SETUPS)
+
+
+PRETRAINED_ENV = "BS_PRETRAINED_DIR"
+
+
+def pretrained_dir() -> str:
+    """Where release checkpoints for the ``*_from_*`` refiners live.
+
+    The reference downloads these from GitHub release zips
+    (``configs.py:34-39,354-382``); here they ship with the package
+    (trained on synthetic labels on TPU, see tools/train_refiners.py)
+    and can be overridden with $BS_PRETRAINED_DIR."""
+    return os.environ.get(PRETRAINED_ENV) or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "pretrained",
+    )
+
+
+def install_pretrained(setup_name: str, setup_dir: str):
+    """Copy the shipped checkpoint for a refiner setup into a freshly
+    prepared setup dir (the reference's download-checkpoints UX,
+    ``configs.py:354-382``, without the network)."""
+    import shutil
+
+    from .train.loop import latest_checkpoint
+
+    src_dir = os.path.join(pretrained_dir(), setup_name)
+    if not os.path.isdir(src_dir):
+        return None
+    src = latest_checkpoint(src_dir)
+    if not src:
+        return None
+    dst = os.path.join(setup_dir, os.path.basename(src))
+    if not os.path.exists(dst):
+        os.makedirs(setup_dir, exist_ok=True)
+        shutil.copy2(src, dst)
+    return dst
 
 
 def setup_models(
@@ -33,13 +74,18 @@ def setup_models(
 
     Unlike the reference (which copies python scripts per setup,
     ``configs.py:67-76``), setups here are pure config — one parametric
-    model implementation serves all of them.
+    model implementation serves all of them.  Refiner setups get the
+    shipped synthetic-trained checkpoint installed when available.
     """
     setup_dirs = []
     os.makedirs(parent_dir, exist_ok=True)
     for name in model_names:
         setup_dir = os.path.join(parent_dir, name)
         write_net_config(name, setup_dir)
+        if "_from_" in name:
+            ckpt = install_pretrained(name, setup_dir)
+            if ckpt:
+                logger.info("installed pretrained checkpoint %s", ckpt)
         setup_dirs.append(setup_dir)
     return setup_dirs
 

@@ -52,6 +52,10 @@ class UNetConfig:
     # space-to-depth fold (exact; see fold.py). Auto-disabled when the
     # config or input shape is ineligible.
     fold_xy: bool = True
+    # folding deeper decoder levels trades 1.78x conv FLOPs (zero slots
+    # in the folded kernel) for layout quality — a loss once channels
+    # fill the 128 lanes, so off by default; level 0 always folds.
+    fold_deep_levels: bool = False
 
     def __post_init__(self):
         object.__setattr__(
@@ -241,8 +245,17 @@ def max_pool(x, factors: Sequence[int]):
 
 
 def upsample_resize(x, factors: Sequence[int]):
-    """Linear-interpolation upsampling (matches constant_upsample=True)."""
+    """Linear-interpolation upsampling (matches constant_upsample=True).
+
+    The (1,2,2) 3D case runs as per-phase 2-tap blends + interleave —
+    identical values to ``jax.image.resize(method='linear')`` but
+    without its dot_general temporaries, which dominate HBM at large
+    tiles (see BASELINE.md)."""
     dims = len(factors)
+    if dims == 3 and tuple(factors) == (1, 2, 2):
+        from .fold import folded_upsample_linear, unfold
+
+        return unfold(folded_upsample_linear(x))
     new_spatial = tuple(s * f for s, f in zip(x.shape[1 : 1 + dims], factors))
     return jax.image.resize(
         x, (x.shape[0], *new_spatial, x.shape[-1]), method="linear"
@@ -425,13 +438,14 @@ def unet_apply(
         gs_out = rec(level - 1, g_in)
         fs_out = []
         for h in range(cfg.num_heads):
-            folded = _decode_level_folded(
-                params, f_left, gs_out[h], i, h, cfg, crop_factors,
-                compute_dtype,
-            )
-            if folded is not None:
-                fs_out.append(folded)
-                continue
+            if cfg.fold_deep_levels:
+                folded = _decode_level_folded(
+                    params, f_left, gs_out[h], i, h, cfg, crop_factors,
+                    compute_dtype,
+                )
+                if folded is not None:
+                    fs_out.append(folded)
+                    continue
             if cfg.constant_upsample:
                 g_up = upsample_resize(gs_out[h], cfg.downsample_factors[i])
             else:

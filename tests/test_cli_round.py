@@ -274,3 +274,33 @@ def test_11_run_directory_mode(project, tmp_path):
         shutil.copy(base / "round_1" / f, d / f)
     res = runner.invoke(cli, ["run", str(d)], catch_exceptions=False)
     assert res.exit_code == 0, res.output
+
+
+def test_install_pretrained(tmp_path, monkeypatch):
+    """Refiner setups pick up shipped checkpoints (the reference's
+    download-checkpoints UX, configs.py:354-382, without the network)."""
+    import numpy as np
+
+    from bootstrapper_tpu import configs
+
+    pre = tmp_path / "pretrained" / "3d_affs_from_2d_lsd"
+    pre.mkdir(parents=True)
+    with open(pre / "model_checkpoint_1234", "wb") as f:
+        np.savez(f, **{"params/unet/x": np.zeros(3), "step": np.asarray(1234)})
+    monkeypatch.setenv(configs.PRETRAINED_ENV, str(tmp_path / "pretrained"))
+
+    dirs = configs.setup_models(
+        ["3d_affs_from_2d_lsd", "3d_affs"], str(tmp_path / "setups")
+    )
+    assert os.path.exists(
+        os.path.join(dirs[0], "model_checkpoint_1234")
+    )
+    # non-refiner setups get no checkpoint
+    assert not any(
+        n.startswith("model_checkpoint") for n in os.listdir(dirs[1])
+    )
+
+    from bootstrapper_tpu.train.loop import load_params
+
+    params = load_params(os.path.join(dirs[0], "model_checkpoint_1234"))
+    assert params["unet"]["x"].shape == (3,)
