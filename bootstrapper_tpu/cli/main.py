@@ -151,6 +151,156 @@ def prepare_model(model_names, parent_dir):
         cli_echo(d, "prepare")
 
 
+def _load_volumes(volumes_toml):
+    """Volumes table from a TOML, or the interactive wizard (the
+    reference's get_volumes prompt, ``prepare.py:190-213``)."""
+    from ..utils import tomlio
+    from .wizard import prompt_volumes
+
+    if volumes_toml:
+        vols = tomlio.load(volumes_toml)
+        return vols.get("volumes", vols)
+    return prompt_volumes()
+
+
+def _dump_stage(cfg, out, stage):
+    from ..utils import tomlio
+
+    tomlio.dump({stage: cfg}, out)
+    cli_echo(out, stage)
+
+
+@prepare.command("train")
+@click.option("--volumes-toml", "-v", default=None)
+@click.option("--setup-dir", "-s", "setup_dirs", multiple=True,
+              required=True)
+@click.option("--max-iterations", default=30001, type=int)
+@click.option("--out", "-o", default=None,
+              help="output TOML (default train_{setup}.toml per setup)")
+def prepare_train(volumes_toml, setup_dirs, max_iterations, out):
+    """Create training config file(s) (reference ``prepare.py:239-257``)."""
+    from ..configs import create_training_config
+
+    volumes = _load_volumes(volumes_toml)
+    voxel_size = next(iter(volumes.values())).get("voxel_size", [1, 1, 1])
+    samples = [
+        {
+            "raw": v["raw_dataset"],
+            "labels": v.get("labels_dataset"),
+            "mask": v.get("labels_mask_dataset"),
+        }
+        for v in volumes.values()
+        if v.get("labels_dataset")
+    ]
+    for setup_dir in setup_dirs:
+        cfg = create_training_config(
+            setup_dir, voxel_size, samples, max_iterations
+        )
+        if "_from_" in os.path.basename(os.path.normpath(setup_dir)):
+            cfg.pop("samples", None)
+        path = out or f"train_{os.path.basename(os.path.normpath(setup_dir))}.toml"
+        _dump_stage(cfg, path, "train")
+
+
+@prepare.command("predict")
+@click.option("--volumes-toml", "-v", default=None)
+@click.option("--setup-dir", "-s", "setup_dirs", multiple=True,
+              required=True, help="setup dirs, in chain order")
+@click.option("--iteration", "-i", "iterations", multiple=True, type=int,
+              help="checkpoint iteration per setup (default: latest)")
+@click.option("--num-workers", default=1, type=int)
+@click.option("--out", "-o", default="predict.toml")
+def prepare_predict(volumes_toml, setup_dirs, iterations, num_workers, out):
+    """Create prediction config (reference ``prepare.py:259-319``).
+
+    Bare ``*_from_*`` model names resolve to fresh setup dirs with the
+    shipped pretrained checkpoint installed."""
+    from ..configs import create_prediction_configs, setup_models
+    from ..models.zoo import SETUPS
+
+    volumes = _load_volumes(volumes_toml)
+    resolved = []
+    for sd in setup_dirs:
+        if not os.path.isdir(sd) and sd in SETUPS:
+            if "_from_" not in sd:
+                raise click.UsageError(
+                    f"setup dir {sd!r} does not exist (bare names are "
+                    "only accepted for *_from_* refiners)"
+                )
+            sd = setup_models([sd], "setups")[0]
+        resolved.append(sd)
+    its = list(iterations)
+    if not its:
+        from ..train.loop import latest_checkpoint
+
+        for sd in resolved:
+            ckpt = latest_checkpoint(sd)
+            its.append(
+                int(ckpt.rsplit("_", 1)[1]) if ckpt else 0
+            )
+    cfg = create_prediction_configs(volumes, resolved, its, num_workers)
+    _dump_stage(cfg, out, "predict")
+
+
+@prepare.command("segment")
+@click.option("--volumes-toml", "-v", default=None)
+@click.option("--affs-prefix", "-a", required=True,
+              help="affinities dataset prefix inside each container")
+@click.option("--method", "-m", default="ws",
+              type=click.Choice(["ws", "mws", "cc"]))
+@click.option("--blockwise/--no-blockwise", default=False)
+@click.option("--out", "-o", default="segment.toml")
+def prepare_segment(volumes_toml, affs_prefix, method, blockwise, out):
+    """Create segmentation config (reference ``prepare.py:321-339``)."""
+    from ..configs import create_segmentation_configs
+
+    volumes = _load_volumes(volumes_toml)
+    cfg = create_segmentation_configs(
+        volumes, affs_prefix, method, blockwise
+    )
+    _dump_stage(cfg, out, "segment")
+
+
+@prepare.command("evaluate")
+@click.option("--volumes-toml", "-v", default=None)
+@click.option("--seg-prefix", "-s", required=True)
+@click.option("--pred-dataset", default=None)
+@click.option("--gt-labels", default=None)
+@click.option("--gt-skeletons", default=None)
+@click.option("--out", "-o", default="evaluate.toml")
+def prepare_evaluate(volumes_toml, seg_prefix, pred_dataset, gt_labels,
+                     gt_skeletons, out):
+    """Create evaluation config (reference ``prepare.py:341-364``)."""
+    from ..configs import create_evaluation_configs
+
+    volumes = _load_volumes(volumes_toml)
+    cfg = create_evaluation_configs(
+        volumes, seg_prefix, pred_dataset,
+        gt_labels=gt_labels, gt_skeletons=gt_skeletons,
+    )
+    _dump_stage(cfg, out, "evaluate")
+
+
+@prepare.command("filter")
+@click.option("--volumes-toml", "-v", default=None)
+@click.option("--seg-prefix", "-s", required=True)
+@click.option("--round-name", "-r", default="round_1")
+@click.option("--out", "-o", default="filter.toml")
+def prepare_filter(volumes_toml, seg_prefix, round_name, out):
+    """Create filter config + next-round volumes (reference
+    ``prepare.py:366-385``)."""
+    from ..utils import tomlio
+
+    from ..configs import create_filter_configs
+
+    volumes = _load_volumes(volumes_toml)
+    ret = create_filter_configs(volumes, seg_prefix, round_name)
+    _dump_stage(ret["configs"], out, "filter")
+    nxt = out.replace(".toml", "") + "_next_volumes.toml"
+    tomlio.dump({"volumes": ret["next_volumes"]}, nxt)
+    cli_echo(nxt, "filter")
+
+
 @cli.command()
 @click.argument("config_file", type=click.Path(exists=True))
 @click.option("--max-iterations", "-i", type=int, default=None)
