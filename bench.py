@@ -38,13 +38,13 @@ def main():
     model = Model.from_setup("3d_affs")
     nc = model.net_config
     # Tile choice: valid convolutions make output values independent of
-    # tile size, so taller tiles amortise the fixed z-context (28 slices)
-    # over more output. (152,412,412)->(124,320,320) computes ~3.5x fewer
-    # FLOPs per output voxel than the reference's (32,412,412)->(4,...)
-    # tile and measures ~4.2x higher throughput on v5e. Taller/wider
-    # tiles hit HBM limits (layout padding, see BASELINE.md): z=182 runs
-    # ~2% faster but OOMs with several resident input buffers.
-    shape_increase = [120, 216, 216]
+    # tile size, so bigger tiles amortise the fixed context (28 z / 92 xy)
+    # over more output. (152,540,540)->(124,448,448) is the largest tile
+    # that compiles on a 16G v5e chip with the space-to-depth fold +
+    # memory-adaptive lazy decoder (see BASELINE.md); taller z and
+    # 668-wide xy exceed HBM. FLOP cost: 7.65 MFLOP/output-voxel ->
+    # single-chip speed of light ~25.8 Mvox/s at 100% MXU.
+    shape_increase = [120, 344, 344]
     input_shape = [a + b for a, b in zip(nc["input_shape"], shape_increase)]
     output_shape = [a + b for a, b in zip(nc["output_shape"], shape_increase)]
 

@@ -157,16 +157,6 @@ def folded_phase_max(xf):
     return xf.reshape(n, d, hf, wf, 4, c).max(axis=-2)
 
 
-def folded_concat(af, bf):
-    """Channel-concat two folded arrays (phase-major interleave)."""
-    n, d, hf, wf, ca4 = af.shape
-    cb4 = bf.shape[-1]
-    a = af.reshape(n, d, hf, wf, 4, ca4 // 4)
-    b = bf.reshape(n, d, hf, wf, 4, cb4 // 4)
-    out = jnp.concatenate([a, b], axis=-1)
-    return out.reshape(n, d, hf, wf, ca4 + cb4)
-
-
 def folded_upsample_linear(g):
     """(1,2,2) linear upsample of an UNFOLDED half-res array, produced
     directly in folded layout (N, D, h, w, 4C) — the full-resolution
@@ -197,27 +187,214 @@ def folded_upsample_linear(g):
     return out.reshape(n, d, h, w, 4 * c).astype(g.dtype)
 
 
-def folded_crop_to_factor(xf, factor, kernel_sizes):
-    """Folded equivalent of ``crop_to_factor`` (translation-equivariance
-    crop before the next conv pass).  Returns None if the target extent
-    is xy-odd (caller falls back to the unfolded path)."""
-    spatial = folded_spatial(xf)
-    dims = len(factor)
+def composite_up_kernels(w, c0y: int, c0x: int):
+    """Fuse (1,2,2) linear upsample + crop offset + valid conv into four
+    per-output-phase kernels over the *edge-padded half-resolution*
+    input.
+
+    The 2-tap half-pixel blend composed with a k-tap conv at output
+    stride 2 is a ceil((k+1)/2)+...-tap conv in half-res space — for the
+    ubiquitous k=3 it is exactly 3 taps, so the fusion is FLOP-neutral
+    and the upsampled tensor never materialises.
+
+    w: (kz, ky, kx, ci, co).  Returns [((py,px), kernel, (by, bx))] where
+    ``kernel`` convolves gp = pad(g, 1, edge) sliced from (by, bx)."""
+    kz, ky, kx, ci, co = w.shape
+
+    def axis_taps(c0, p, k):
+        taps = {}
+        for i in range(k):
+            eb, q = divmod(c0 + p + i, 2)
+            pairs = [(0, 0.25), (1, 0.75)] if q == 0 else [(1, 0.75), (2, 0.25)]
+            for d, coef in pairs:
+                taps.setdefault(eb + d, []).append((i, coef))
+        return taps
+
+    out = []
+    for py in range(2):
+        ytaps = axis_taps(c0y, py, ky)
+        by, ty = min(ytaps), max(ytaps) - min(ytaps) + 1
+        for px in range(2):
+            xtaps = axis_taps(c0x, px, kx)
+            bx, tx = min(xtaps), max(xtaps) - min(xtaps) + 1
+            k = jnp.zeros((kz, ty, tx, ci, co), w.dtype)
+            for posy, ylist in ytaps.items():
+                for posx, xlist in xtaps.items():
+                    acc = None
+                    for iy, cy in ylist:
+                        for ix, cx in xlist:
+                            term = (cy * cx) * w[:, iy, ix]
+                            acc = term if acc is None else acc + term
+                    k = k.at[:, posy - by, posx - bx].add(acc)
+            out.append(((py, px), k, (by, bx)))
+    return out
+
+
+def lazy_upsample_conv(
+    g, w, crop_offsets, target, *, compute_dtype=jnp.bfloat16
+):
+    """g-side of a decoder conv layer without materialising the
+    upsample: equivalent to ``conv_valid(crop(upsample_linear_122(g)),
+    w)`` (crop at ``crop_offsets`` to ``target``), returned in FOLDED
+    layout (N, Dz', Ty', Tx', 4*co).  No bias."""
+    kz, ky, kx, ci, co = w.shape
+    c0z, c0y, c0x = crop_offsets
+    tz, ty, tx = target
+    ly, lx = (ty - ky + 1) // 2, (tx - kx + 1) // 2
+    gp = jnp.pad(g, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    gp = gp[:, c0z : c0z + tz]
+    phases = []
+    for (_, kern, (by, bx)) in composite_up_kernels(w, c0y, c0x):
+        t_y, t_x = kern.shape[1], kern.shape[2]
+        sl = gp[:, :, by : by + ly + t_y - 1, bx : bx + lx + t_x - 1, :]
+        phases.append(
+            jax.lax.conv_general_dilated(
+                sl.astype(compute_dtype),
+                kern.astype(compute_dtype),
+                window_strides=(1, 1, 1),
+                padding="VALID",
+                dimension_numbers=_dim_numbers(3),
+            )
+        )
+    out = jnp.stack(phases, axis=-2)  # (n, dz', ly, lx, 4, co)
+    n, dz, _, _, _, _ = out.shape
+    return out.reshape(n, dz, ly, lx, 4 * co)
+
+
+def up_crop_geometry(up_spatial, kernel_sizes, crop_factor):
+    """crop_to_factor geometry on the implicit upsampled extent:
+    (target, offsets), or None when the target is xy-odd (caller falls
+    back to the unfolded path)."""
     conv_crop = tuple(
-        sum(k[d] - 1 for k in kernel_sizes) for d in range(dims)
+        sum(k[d] - 1 for k in kernel_sizes) for d in range(3)
     )
-    ns = tuple((s - c) // f for s, c, f in zip(spatial, conv_crop, factor))
-    target = tuple(n * f + c for n, c, f in zip(ns, conv_crop, factor))
-    if target == spatial:
-        return xf
-    if not all(t > c for t, c in zip(target, conv_crop)):
+    ns = tuple(
+        (s - c) // f for s, c, f in zip(up_spatial, conv_crop, crop_factor)
+    )
+    target = tuple(n * f + c for n, c, f in zip(ns, conv_crop, crop_factor))
+    if target != up_spatial and not all(
+        t > c for t, c in zip(target, conv_crop)
+    ):
         raise ValueError(
-            f"feature map {spatial} too small for factor {factor} "
+            f"feature map {up_spatial} too small for factor {crop_factor} "
             f"and convs {kernel_sizes}"
         )
     if target[1] % 2 or target[2] % 2:
         return None
-    return folded_center_crop(xf, target)
+    offsets = [(s - t) // 2 for s, t in zip(up_spatial, target)]
+    return target, offsets
+
+
+def folded_decode_level(
+    params,
+    f_left_f,
+    g,
+    kernel_sizes,
+    crop_factor,
+    activation="relu",
+    compute_dtype=jnp.bfloat16,
+    return_folded: bool = False,
+):
+    """Decoder level with a *materialised* folded-blend upsample and a
+    single folded conv pass over split inputs.  Best when channel counts
+    are small (level 0): one conv keeps the MXU busier than the four
+    per-phase lazy convs, and the folded temporaries are narrow."""
+    if any(k[1] % 2 == 0 or k[2] % 2 == 0 for k in kernel_sizes):
+        return None
+    up_spatial = (g.shape[1], g.shape[2] * 2, g.shape[3] * 2)
+    geom = up_crop_geometry(up_spatial, kernel_sizes, crop_factor)
+    if geom is None:
+        return None
+    target, offsets = geom
+    g_f = folded_upsample_linear(g)
+    g_up_f = folded_crop(g_f, target, offsets)
+    f_crop_f = folded_center_crop(f_left_f, target)
+    out_f = folded_conv_pass(
+        params, [f_crop_f, g_up_f], kernel_sizes, activation, compute_dtype
+    )
+    return out_f if return_folded else unfold(out_f)
+
+
+def lazy_decode_level(
+    params,
+    f_left,
+    g,
+    kernel_sizes,
+    crop_factor,
+    activation="relu",
+    compute_dtype=jnp.bfloat16,
+    f_left_folded: bool = False,
+    return_folded: bool = False,
+):
+    """A full decoder level — upsample(1,2,2) + crop_to_factor + skip
+    concat + residual conv pass — with the upsample fused into the first
+    conv layer and the residual, everything in folded layout.  Exact
+    (same values as the reference path) and FLOP-neutral for the
+    dominant 3-tap kernels.
+
+    Returns None when ineligible: caller falls back."""
+    k1 = kernel_sizes[0]
+    if len(k1) != 3 or any(k[1] % 2 == 0 or k[2] % 2 == 0 for k in kernel_sizes):
+        return None
+    up_spatial = (g.shape[1], g.shape[2] * 2, g.shape[3] * 2)
+    geom = up_crop_geometry(up_spatial, kernel_sizes, crop_factor)
+    if geom is None:
+        return None
+    target, offsets = geom
+
+    # skip side, folded (pad-to-even then parity-aware crop)
+    if f_left_folded:
+        f_spatial = folded_spatial(f_left)
+        f_pad = f_left
+    else:
+        f_spatial = f_left.shape[1:4]
+        pad_h, pad_w = f_spatial[1] % 2, f_spatial[2] % 2
+        if pad_h or pad_w:
+            f_left = jnp.pad(
+                f_left, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0))
+            )
+        f_pad = fold(f_left)
+    f_offsets = [(s - t) // 2 for s, t in zip(f_spatial, target)]
+    f_crop_f = folded_crop(f_pad, target, f_offsets)
+    cf = f_crop_f.shape[-1] // 4
+
+    act = _ACTIVATIONS[activation]
+    layers = params["layers"]
+    w1, b1 = layers[0]["w"], layers[0]["b"]
+    wf1, _ = fold_conv_weights(w1[..., :cf, :], b1)
+    f_side = jax.lax.conv_general_dilated(
+        f_crop_f.astype(compute_dtype),
+        wf1.astype(compute_dtype),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=_dim_numbers(3),
+    )
+    g_side = lazy_upsample_conv(
+        g, w1[..., cf:, :], offsets, target, compute_dtype=compute_dtype
+    )
+    out = f_side + g_side + jnp.tile(b1, 4).astype(compute_dtype)
+    for layer in layers[1:]:
+        out = act(out)
+        out = folded_conv(
+            out, layer["w"], layer["b"], compute_dtype=compute_dtype
+        )
+    # residual: 1x1 over the implicit concat, centre-cropped
+    wr, br = params["residual"]["w"], params["residual"]["b"]
+    wrf, _ = fold_conv_weights(wr[..., :cf, :], br)
+    res_f = jax.lax.conv_general_dilated(
+        f_crop_f.astype(compute_dtype),
+        wrf.astype(compute_dtype),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=_dim_numbers(3),
+    )
+    res_g = lazy_upsample_conv(
+        g, wr[..., cf:, :], offsets, target, compute_dtype=compute_dtype
+    )
+    res = res_f + res_g + jnp.tile(br, 4).astype(compute_dtype)
+    res = folded_center_crop(res, folded_spatial(out))
+    out = act(out + res)
+    return out if return_folded else unfold(out)
 
 
 def folded_conv_pass(

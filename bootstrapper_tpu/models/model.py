@@ -70,6 +70,7 @@ class Model:
             num_fmaps_out=nc.get("num_fmaps_out"),
             constant_upsample=True,
             padding="valid",
+            fold_xy=nc.get("fold_xy", True),
         )
 
     @property

@@ -52,10 +52,6 @@ class UNetConfig:
     # space-to-depth fold (exact; see fold.py). Auto-disabled when the
     # config or input shape is ineligible.
     fold_xy: bool = True
-    # folding deeper decoder levels trades 1.78x conv FLOPs (zero slots
-    # in the folded kernel) for layout quality — a loss once channels
-    # fill the 128 lanes, so off by default; level 0 always folds.
-    fold_deep_levels: bool = False
 
     def __post_init__(self):
         object.__setattr__(
@@ -247,15 +243,9 @@ def max_pool(x, factors: Sequence[int]):
 def upsample_resize(x, factors: Sequence[int]):
     """Linear-interpolation upsampling (matches constant_upsample=True).
 
-    The (1,2,2) 3D case runs as per-phase 2-tap blends + interleave —
-    identical values to ``jax.image.resize(method='linear')`` but
-    without its dot_general temporaries, which dominate HBM at large
-    tiles (see BASELINE.md)."""
+    Large (1,2,2) upsamples never reach this path: the decoder switches
+    to the upsample-fused lazy form first (see ``_try_lazy_decode``)."""
     dims = len(factors)
-    if dims == 3 and tuple(factors) == (1, 2, 2):
-        from .fold import folded_upsample_linear, unfold
-
-        return unfold(folded_upsample_linear(x))
     new_spatial = tuple(s * f for s, f in zip(x.shape[1 : 1 + dims], factors))
     return jax.image.resize(
         x, (x.shape[0], *new_spatial, x.shape[-1]), method="linear"
@@ -370,46 +360,56 @@ def _fold_eligible(cfg: UNetConfig, x) -> bool:
     return x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
 
 
-def _decode_level_folded(
-    params, f_left, g, i, h, cfg, crop_factors, compute_dtype
+def _try_lazy_decode(
+    params, f_left, g, i, h, cfg, crop_factors, compute_dtype,
+    f_left_folded, return_folded,
 ):
-    """Decoder level in folded (2x2-xy space-to-depth) layout: folded
-    linear upsample + folded split-concat conv pass, unfolding only the
-    level's (narrow) output.  Returns None when the level is ineligible
-    (caller falls back to the unfolded path).  This avoids the wide
-    upsample/concat temporaries that are the HBM peak at large tiles."""
+    """Pick the decode strategy for level ``i``; None -> caller runs the
+    plain unfolded path.
+
+    - level 0 with a folded skip: materialised folded blends + one
+      folded conv pass (narrow channels — a single wide conv beats four
+      per-phase ones);
+    - deeper levels: the upsample-fused lazy path ONLY when the
+      materialised upsample would be large (it trades per-conv MXU
+      occupancy for never building the wide upsample temporaries that
+      OOM large tiles; threshold via $BS_LAZY_UP_BYTES)."""
     if not cfg.fold_xy or cfg.dims != 3 or not cfg.constant_upsample:
         return None
     if cfg.padding != "valid":
         return None
     if tuple(cfg.downsample_factors[i]) != (1, 2, 2):
         return None
-    from .fold import can_fold_kernel
-
-    if not all(can_fold_kernel(k) for k in cfg.kernel_size_up[i]):
-        return None
     from . import fold as F
 
-    g_f = F.folded_upsample_linear(g)
-    g_up_f = F.folded_crop_to_factor(g_f, crop_factors[i], cfg.kernel_size_up[i])
-    if g_up_f is None:  # odd target extent
-        return None
-    target = F.folded_spatial(g_up_f)
-    spatial = f_left.shape[1:4]
-    offsets = [(s - t) // 2 for s, t in zip(spatial, target)]
-    pad_h, pad_w = spatial[1] % 2, spatial[2] % 2
-    if pad_h or pad_w:
-        # pad to even for folding; the padded edge is never read because
-        # offsets+target <= the true extent
-        f_left = jnp.pad(
-            f_left, ((0, 0), (0, 0), (0, pad_h), (0, pad_w), (0, 0))
+    if f_left_folded:
+        return F.folded_decode_level(
+            params["r_conv"][h][i],
+            f_left,
+            g,
+            cfg.kernel_size_up[i],
+            crop_factors[i],
+            cfg.activation,
+            compute_dtype,
+            return_folded=return_folded,
         )
-    f_crop_f = F.folded_crop(F.fold(f_left), target, offsets)
-    out_f = F.folded_conv_pass(
-        params["r_conv"][h][i], [f_crop_f, g_up_f], cfg.kernel_size_up[i],
-        cfg.activation, compute_dtype,
+    import os
+
+    up_bytes = 2 * g.shape[-1] * g.shape[1] * (g.shape[2] * g.shape[3] * 4)
+    threshold = float(os.environ.get("BS_LAZY_UP_BYTES", 3e9))
+    if up_bytes < threshold:
+        return None
+    return F.lazy_decode_level(
+        params["r_conv"][h][i],
+        f_left,
+        g,
+        cfg.kernel_size_up[i],
+        crop_factors[i],
+        cfg.activation,
+        compute_dtype,
+        f_left_folded=f_left_folded,
+        return_folded=return_folded,
     )
-    return F.unfold(out_f)
 
 
 def unet_apply(
@@ -438,14 +438,13 @@ def unet_apply(
         gs_out = rec(level - 1, g_in)
         fs_out = []
         for h in range(cfg.num_heads):
-            if cfg.fold_deep_levels:
-                folded = _decode_level_folded(
-                    params, f_left, gs_out[h], i, h, cfg, crop_factors,
-                    compute_dtype,
-                )
-                if folded is not None:
-                    fs_out.append(folded)
-                    continue
+            lazy = _try_lazy_decode(
+                params, f_left, gs_out[h], i, h, cfg, crop_factors,
+                compute_dtype, f_left_folded=False, return_folded=False,
+            )
+            if lazy is not None:
+                fs_out.append(lazy)
+                continue
             if cfg.constant_upsample:
                 g_up = upsample_resize(gs_out[h], cfg.downsample_factors[i])
             else:
@@ -488,47 +487,34 @@ def unet_apply(
     gs_out = rec(cfg.num_levels - 2, g_in)
     fs_out = []
     for h in range(cfg.num_heads):
-        g_up_f = None
-        if cfg.constant_upsample and cfg.padding == "valid":
-            # fold the (1,2,2) linear upsample itself: the full-res
-            # tensor is produced directly in folded layout
-            g_f = F.folded_upsample_linear(gs_out[h])
-            g_up_f = F.folded_crop_to_factor(
-                g_f, crop_factors[0], cfg.kernel_size_up[0]
+        lazy = _try_lazy_decode(
+            params, f_left_f, gs_out[h], 0, h, cfg, crop_factors,
+            compute_dtype, f_left_folded=True, return_folded=return_folded,
+        )
+        if lazy is not None:
+            fs_out.append(lazy)
+            continue
+        # fallback: materialised upsample, unfolded conv pass
+        f_left = F.unfold(f_left_f)
+        if cfg.constant_upsample:
+            g_up = upsample_resize(gs_out[h], cfg.downsample_factors[0])
+        else:
+            up = params["r_up"][h][0]
+            g_up = upsample_transposed(
+                gs_out[h], up["w"], up["b"], cfg.downsample_factors[0],
+                compute_dtype,
             )
-        if g_up_f is None:
-            if cfg.constant_upsample:
-                g_up = upsample_resize(gs_out[h], cfg.downsample_factors[0])
-            else:
-                up = params["r_up"][h][0]
-                g_up = upsample_transposed(
-                    gs_out[h], up["w"], up["b"], cfg.downsample_factors[0],
-                    compute_dtype,
-                )
-            if cfg.padding == "valid":
-                g_up = crop_to_factor(
-                    g_up, crop_factors[0], cfg.kernel_size_up[0]
-                )
-            if g_up.shape[2] % 2 or g_up.shape[3] % 2:
-                # odd upsampled extent: finish this head unfolded
-                f_left = F.unfold(f_left_f)
-                f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
-                fs_out.append(
-                    conv_pass_apply(
-                        params["r_conv"][h][0], [f_crop, g_up],
-                        cfg.kernel_size_up[0], cfg.activation, compute_dtype,
-                    )
-                )
-                continue
-            g_up_f = F.fold(g_up)
-        f_crop_f = F.folded_center_crop(
-            f_left_f, F.folded_spatial(g_up_f)
+        if cfg.padding == "valid":
+            g_up = crop_to_factor(
+                g_up, crop_factors[0], cfg.kernel_size_up[0]
+            )
+        f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
+        fs_out.append(
+            conv_pass_apply(
+                params["r_conv"][h][0], [f_crop, g_up],
+                cfg.kernel_size_up[0], cfg.activation, compute_dtype,
+            )
         )
-        out_f = F.folded_conv_pass(
-            params["r_conv"][h][0], [f_crop_f, g_up_f],
-            cfg.kernel_size_up[0], cfg.activation, compute_dtype,
-        )
-        fs_out.append(out_f if return_folded else F.unfold(out_f))
     return fs_out
 
 

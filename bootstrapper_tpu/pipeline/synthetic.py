@@ -28,7 +28,7 @@ from ..ops.affinities import (
     seg_to_affs,
 )
 from ..ops.lsd import lsd_descriptors_2d_stack, lsd_descriptors_downsampled
-from ..train.sampler import BatchLoader, renumber
+from ..train.sampler import BatchLoader, fold_ids_u32
 from ..train.synth import synthetic_pair
 from .augment import (
     defect_augment,
@@ -57,9 +57,12 @@ def make_synth_device_transform(net_config: dict, voxel_size):
         return x[tuple(slices)]
 
     def transform(key, clean, obf):
+        from .training import device_renumber
+
         keys = jax.random.split(key, 10)
-        clean = clean.astype(jnp.int32)
-        obf = obf.astype(jnp.int32)
+        clean = device_renumber(clean, MAX_LABELS)
+        # obfuscation splits add ids; renumber independently
+        obf = device_renumber(obf, MAX_LABELS)
 
         arrays = simple_augment(
             keys[0], {"clean": clean, "obf": obf},
@@ -167,10 +170,9 @@ class SyntheticTrainingPipeline:
             seed = int(self.rng.integers(0, 2**31))
         rng = np.random.default_rng(seed)
         clean, obf = synthetic_pair(rng, shape=self.input_tile)
-        clean = renumber(clean, max_labels=MAX_LABELS)
-        # obfuscation splits add ids; renumber independently
-        obf = renumber(obf, max_labels=MAX_LABELS)
-        return {"clean": clean, "obf": obf}
+        # dense renumbering runs on device (device_renumber) -- the host
+        # np.unique sorts were a per-draw bottleneck on the 1-core host
+        return {"clean": fold_ids_u32(clean), "obf": fold_ids_u32(obf)}
 
     def next_batch(self):
         batch = next(self.loader)

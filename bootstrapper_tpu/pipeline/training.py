@@ -110,10 +110,38 @@ class SetupSpec:
         return out
 
 
+def device_renumber(labels, max_labels: int = MAX_LABELS):
+    """Dense relabel to 0..K-1 on device (the gp Renumber capability,
+    previously a host ``np.unique`` sort per draw — the 1-core host was
+    the training bottleneck, VERDICT round-1 item 3).
+
+    Sorted-unique ranks; background 0 keeps rank 0 when present, other
+    ids stay >= 1; ids beyond ``max_labels`` merge into the last rank
+    (same clamp as the host version)."""
+    flat = labels.reshape(-1)
+    uniq, inv = jnp.unique(
+        flat, size=max_labels, fill_value=0, return_inverse=True
+    )
+    inv = inv.reshape(labels.shape).astype(jnp.int32)
+    inv = inv + jnp.where(uniq[0] == 0, 0, 1).astype(jnp.int32)
+    return jnp.minimum(inv, max_labels - 1)
+
+
+def device_normalize_raw(raw):
+    """uint8/uint16 -> float32 in [0,1] on device (gp.Normalize); the
+    host ships raw bytes (4x less transfer than fp32)."""
+    if raw.dtype == jnp.uint8:
+        return raw.astype(jnp.float32) / 255.0
+    if raw.dtype == jnp.uint16:
+        return raw.astype(jnp.float32) / 65535.0
+    return raw.astype(jnp.float32)
+
+
 def make_device_transform(spec: SetupSpec):
     """(key, raw, labels, mask) unbatched -> (input, targets, weights).
 
-    raw: input_tile float[0,1]; labels/mask: input-sized int/uint8.
+    raw: input_tile uint8/uint16/float; labels: input-sized ids (any
+    int dtype, renumbered on device); mask: uint8.
     """
     vs = spec.voxel_size
     out_tile = spec.output_tile
@@ -128,7 +156,8 @@ def make_device_transform(spec: SetupSpec):
 
     def transform(key, raw, labels, mask):
         keys = jax.random.split(key, 12)
-        labels = labels.astype(jnp.int32)
+        raw = device_normalize_raw(raw)
+        labels = device_renumber(labels)
         mask = mask.astype(jnp.float32)
 
         # ---- geometric (applies to raw + labels + mask jointly) ----

@@ -157,23 +157,24 @@ def extract_fragments_blockwise(
             bump = np.uint64(block.block_id * voxels_per_block)
             frags = native.replace_values(frags, ids, dense + bump)
             new_ids = dense + bump
-            # centers in world units -> RAG nodes
-            centers = np.zeros((len(new_ids), 3))
+            # centers in world units -> RAG nodes (vectorised bincount
+            # means: no per-fragment Python loop in this hot stage)
             flat = frags.ravel()
-            order = np.argsort(flat, kind="stable")
-            sorted_vals = flat[order]
-            coords = np.stack(
-                np.unravel_index(order, frags.shape), axis=1
-            ).astype(np.float64)
-            bounds = np.searchsorted(
-                sorted_vals, np.concatenate([new_ids, [new_ids[-1] + 1]])
+            mask = flat != 0
+            idx = (flat[mask] - bump - np.uint64(1)).astype(np.int64)
+            counts = np.bincount(idx, minlength=len(new_ids)).astype(
+                np.float64
             )
-            for i in range(len(new_ids)):
-                seg_coords = coords[bounds[i] : bounds[i + 1]]
-                c = seg_coords.mean(axis=0)
-                centers[i] = [
-                    wroi.begin[d] + c[d] * vs[d] for d in range(3)
-                ]
+            counts = np.maximum(counts, 1)
+            centers = np.empty((len(new_ids), 3))
+            grid = np.indices(frags.shape).reshape(3, -1)
+            for d in range(3):
+                sums = np.bincount(
+                    idx,
+                    weights=grid[d][mask],
+                    minlength=len(new_ids),
+                )
+                centers[:, d] = wroi.begin[d] + (sums / counts) * vs[d]
             rag.write_nodes(new_ids.tolist(), centers)
         fragments[wroi] = frags
 

@@ -8,12 +8,37 @@ In-memory equivalents of the reference's three fragment extractors
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
 from scipy import ndimage
 
 from .. import native
+
+
+def _device_seed_maxima(dist_stack, mask_stack, size):
+    """Batched per-section seed detection on the accelerator (Pallas
+    kernel, one call for the whole stack).  Returns None when the TPU
+    path is unavailable or disabled so the caller falls back to scipy."""
+    if os.environ.get("BS_DEVICE_SEEDS", "auto") == "0":
+        return None
+    try:
+        import jax
+
+        from ..ops.pallas_kernels import _on_tpu, seed_maxima_3d
+
+        if not _on_tpu() and os.environ.get("BS_DEVICE_SEEDS") != "1":
+            return None
+        out = seed_maxima_3d(
+            jax.numpy.asarray(dist_stack),
+            jax.numpy.asarray(mask_stack.astype(np.float32)),
+            size=size,
+            interpret=not _on_tpu(),
+        )
+        return np.asarray(out).astype(bool)
+    except Exception:
+        return None
 
 
 def watershed_from_affinities(
@@ -30,14 +55,22 @@ def watershed_from_affinities(
     affs: (C, Z, Y, X) float in [0, max_affinity_value].
     ``fragments_in_xy``: per-section 2D fragments from the mean of the
     two xy affinity channels, with per-section id offsets.
+
+    On TPU, seed detection for the whole section stack runs as one
+    Pallas kernel call (``ops/pallas_kernels.py``), replicating
+    ``scipy.ndimage.maximum_filter`` exactly; elsewhere scipy is used.
     """
     affs = np.asarray(affs, np.float32)
 
-    def _single(mean_affs, id_offset=0):
+    def _single(mean_affs, id_offset=0, maxima=None, dist=None):
         boundary_mask = mean_affs > 0.5 * max_affinity_value
-        dist = ndimage.distance_transform_edt(boundary_mask).astype(np.float32)
-        maxima = ndimage.maximum_filter(dist, min_seed_distance) == dist
-        maxima &= boundary_mask
+        if dist is None:
+            dist = ndimage.distance_transform_edt(boundary_mask).astype(
+                np.float32
+            )
+        if maxima is None:
+            maxima = ndimage.maximum_filter(dist, min_seed_distance) == dist
+            maxima &= boundary_mask
         seeds, n = ndimage.label(maxima)
         seeds = seeds.astype(np.uint64)
         if n == 0:
@@ -50,11 +83,28 @@ def watershed_from_affinities(
 
     if fragments_in_xy:
         mean_affs = 0.5 * (affs[-1] + affs[-2])
+        boundary_stack = mean_affs > 0.5 * max_affinity_value
+        dist_stack = np.stack(
+            [
+                ndimage.distance_transform_edt(boundary_stack[z]).astype(
+                    np.float32
+                )
+                for z in range(mean_affs.shape[0])
+            ]
+        )
+        maxima_stack = _device_seed_maxima(
+            dist_stack, boundary_stack, min_seed_distance
+        )
         fragments = np.zeros(mean_affs.shape, np.uint64)
         seeds_out = np.zeros(mean_affs.shape, np.uint64)
         id_offset = 0
         for z in range(mean_affs.shape[0]):
-            frags, id_offset, seeds = _single(mean_affs[z], id_offset)
+            frags, id_offset, seeds = _single(
+                mean_affs[z],
+                id_offset,
+                maxima=None if maxima_stack is None else maxima_stack[z],
+                dist=dist_stack[z],
+            )
             fragments[z] = frags
             seeds_out[z] = seeds
     else:

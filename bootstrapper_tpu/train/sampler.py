@@ -111,16 +111,33 @@ class RandomLocationSampler:
                 if self.min_masked > 0 and mask.mean() < self.min_masked:
                     continue
             in_roi = out_roi.grow(self.context, self.context)
-            raw = normalize_raw(s.raw.to_ndarray(in_roi))
+            # raw ships as stored bytes; labels ship as raw ids folded to
+            # 32 bits — normalisation and dense renumbering both run on
+            # device (pipeline.training.device_renumber), keeping the
+            # 1-core host out of the per-iteration critical path
+            raw = s.raw.to_ndarray(in_roi)
             return {
                 "raw": raw,
-                "labels": renumber(labels, max_labels=self.max_labels),
+                "labels": fold_ids_u32(labels),
                 "mask": mask,
                 "roi": out_roi,
             }
         raise RuntimeError(
             f"rejected {self.max_tries} crops (min_masked={self.min_masked})"
         )
+
+
+def fold_ids_u32(labels: np.ndarray) -> np.ndarray:
+    """Label ids as uint32 for device transfer; ids beyond 2^32 (e.g.
+    block-bumped pseudo-GT fragments) are xor-folded — 0 stays 0 and
+    distinct ids collide with probability ~K^2/2^33 per crop."""
+    labels = np.asarray(labels)
+    if labels.dtype == np.uint32:
+        return labels
+    labels = labels.astype(np.uint64, copy=False)
+    if labels.size and int(labels.max()) >> 32:
+        labels = labels ^ (labels >> np.uint64(32))
+    return labels.astype(np.uint32)
 
 
 def renumber(labels: np.ndarray, max_labels: Optional[int] = None) -> np.ndarray:

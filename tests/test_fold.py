@@ -108,6 +108,16 @@ def test_unet_fold_exact():
                                rtol=0, atol=2e-5)
 
 
+def test_unet_fold_exact_forced_lazy_deep(monkeypatch):
+    # force the upsample-fused lazy path at every decoder level (big-tile
+    # memory mode) and check exactness against the unfolded graph
+    monkeypatch.setenv("BS_LAZY_UP_BYTES", "0")
+    cfg = small_cfg()
+    base, folded = _unet_pair(cfg, (20, 52, 56))
+    np.testing.assert_allclose(np.asarray(folded[0]), np.asarray(base[0]),
+                               rtol=0, atol=2e-5)
+
+
 def test_unet_fold_exact_flat_kernels():
     # the 'from'-net shape: (1,3,3) kernels in the first levels
     cfg = small_cfg(
@@ -136,6 +146,33 @@ def test_folded_upsample_matches_resize():
     ref = upsample_resize(x, (1, 2, 2))
     got = F.unfold(F.folded_upsample_linear(x))
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("c0y,c0x", [(0, 0), (1, 0), (2, 3), (1, 1)])
+@pytest.mark.parametrize("k", [1, 3])
+def test_lazy_upsample_conv_matches_materialised(c0y, c0x, k):
+    """Composite stride-2 kernels == upsample + crop + conv, including
+    crop offsets 0/1 where the resize's edge clamp is consumed."""
+    from bootstrapper_tpu.models.unet import upsample_resize
+
+    rng = jax.random.PRNGKey(20)
+    g = jax.random.normal(rng, (1, 6, 9, 11, 5), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(21), (min(k, 3), k, k, 5, 4),
+                          jnp.float32)
+    kz = w.shape[0]
+    target = (6 - 0, 14, 16)  # z kept, xy even, within 2*h - offsets
+    g_up = upsample_resize(g, (1, 2, 2))
+    crop = g_up[:, 0:6, c0y : c0y + 14, c0x : c0x + 16, :]
+    ref = jax.lax.conv_general_dilated(
+        crop, w, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    got = F.unfold(
+        F.lazy_upsample_conv(g, w, (0, c0y, c0x), target,
+                             compute_dtype=jnp.float32)
+    )
+    # fp32 accumulation order differs between the two formulations
+    np.testing.assert_allclose(got, ref, rtol=0, atol=5e-5)
 
 
 def test_fold_eligibility_guards():

@@ -65,10 +65,12 @@ def test_sharded_batch_matches_unsharded():
         np.asarray(sharded._forward(sharded.params, x)["3d_affs"], np.float64)
         / 255.0
     )
-    # float closeness: partitioned executables reassociate reductions;
-    # uint8 rounding sits on knife edges for random params. A structural
-    # (halo / batch-mixing) bug would produce O(0.1) errors.
-    assert np.abs(a - b).max() < 0.01
+    # float closeness: partitioned executables reassociate reductions
+    # (and the folded/unfolded decoder graphs sum in different orders;
+    # bf16 eps is 2^-8); uint8 rounding sits on knife edges for random
+    # params. A structural (halo / batch-mixing) bug would produce
+    # O(0.1) errors.
+    assert np.abs(a - b).max() < 0.02
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs virtual devices")

@@ -141,3 +141,35 @@ def test_setup_spec_defaults():
     spec3 = SetupSpec(Model.from_setup("3d_affs").net_config, (50, 8, 8))
     assert not spec3.is_2d
     assert spec3.batch_size == 1 and spec3.learning_rate == 0.5e-4
+
+
+def test_device_renumber_matches_host():
+    import jax.numpy as jnp
+
+    from bootstrapper_tpu.pipeline.training import device_renumber
+    from bootstrapper_tpu.train.sampler import fold_ids_u32, renumber
+
+    rng = np.random.default_rng(0)
+    # with background
+    labels = rng.choice([0, 5, 17, 99, 12345], size=(4, 8, 8)).astype(
+        np.uint64
+    )
+    host = renumber(labels, max_labels=64)
+    dev = np.asarray(device_renumber(jnp.asarray(fold_ids_u32(labels)), 64))
+    np.testing.assert_array_equal(dev, host)
+    # without background: ids stay >= 1
+    labels2 = labels + 1
+    host2 = renumber(labels2, max_labels=64)
+    dev2 = np.asarray(device_renumber(jnp.asarray(fold_ids_u32(labels2)), 64))
+    np.testing.assert_array_equal(dev2, host2)
+    assert dev2.min() >= 1
+
+
+def test_fold_ids_u32_big_ids():
+    from bootstrapper_tpu.train.sampler import fold_ids_u32
+
+    labels = np.array([0, 1, 2**33, 2**33 + 7], np.uint64)
+    out = fold_ids_u32(labels)
+    assert out.dtype == np.uint32
+    assert out[0] == 0
+    assert len(np.unique(out)) == 4

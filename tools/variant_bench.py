@@ -1,0 +1,86 @@
+"""Time several U-Net graph variants in one process (same relay/session)
+so variant deltas aren't confounded by tunnel variance.
+
+Usage: python tools/variant_bench.py [z,y,x [z,y,x...]]
+"""
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def bench_one(model_ctor, shape, iters=8):
+    import jax
+    import jax.numpy as jnp
+
+    from bootstrapper_tpu.models.unet import compute_output_shape
+
+    model = model_ctor()
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    fwd = jax.jit(lambda p, x: model.apply(p, x)["3d_affs"])
+    xs = [
+        jax.random.uniform(k, (1, *shape, 1), jnp.bfloat16)
+        for k in jax.random.split(jax.random.PRNGKey(1), 4)
+    ]
+    t0 = time.time()
+    y = fwd(params, xs[0])
+    _ = float(y.mean())
+    compile_s = time.time() - t0
+    times = []
+    for i in range(iters):
+        x = xs[(i + 1) % len(xs)]
+        t0 = time.time()
+        y = fwd(params, x)
+        _ = float(y.mean())
+        times.append(time.time() - t0)
+    times = sorted(times)[: max(1, iters * 3 // 4)]
+    dt = sum(times) / len(times)
+    import numpy as np
+
+    out_shape = compute_output_shape(model.unet_config, shape)
+    vox = int(np.prod(out_shape))
+    return {
+        "ms": round(dt * 1000, 1),
+        "mvox_s": round(vox / dt / 1e6, 2),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    shapes = [tuple(int(v) for v in a.split(",")) for a in sys.argv[1:]] or [
+        (152, 412, 412)
+    ]
+    from bootstrapper_tpu.models import Model
+
+    def make(fold=True):
+        nc = dict(Model.from_setup("3d_affs").net_config)
+        nc["fold_xy"] = fold
+        return Model(nc)
+
+    variants = [
+        ("nofold", lambda: make(False), {}),
+        ("auto", lambda: make(True), {}),
+        ("all-lazy", lambda: make(True), {"BS_LAZY_UP_BYTES": "0"}),
+    ]
+    for shape in shapes:
+        for name, ctor, env in variants:
+            for k, v in env.items():
+                os.environ[k] = v
+            try:
+                res = bench_one(ctor, shape)
+                print(json.dumps({"variant": name, "shape": shape, **res}),
+                      flush=True)
+            except Exception as e:
+                print(json.dumps({"variant": name, "shape": shape,
+                                  "error": str(e)[-300:]}), flush=True)
+            for k in env:
+                del os.environ[k]
+
+
+if __name__ == "__main__":
+    main()
