@@ -461,10 +461,17 @@ def unet_apply(
                     g_up, crop_factors[i], cfg.kernel_size_up[i]
                 )
             f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
+            if cfg.fold_xy:
+                # implicit concat (see _conv_split); its gradient graph
+                # trips an XLA:TPU space-to-batch compiler bug, so the
+                # unfolded (training) configuration concatenates plainly
+                x_in = [f_crop, g_up]
+            else:
+                x_in = jnp.concatenate([f_crop, g_up], axis=-1)
             fs_out.append(
                 conv_pass_apply(
                     params["r_conv"][h][i],
-                    [f_crop, g_up],  # implicit concat (see _conv_split)
+                    x_in,
                     cfg.kernel_size_up[i],
                     cfg.activation,
                     compute_dtype,
@@ -511,7 +518,9 @@ def unet_apply(
         f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
         fs_out.append(
             conv_pass_apply(
-                params["r_conv"][h][0], [f_crop, g_up],
+                params["r_conv"][h][0],
+                [f_crop, g_up] if cfg.fold_xy
+                else jnp.concatenate([f_crop, g_up], axis=-1),
                 cfg.kernel_size_up[0], cfg.activation, compute_dtype,
             )
         )

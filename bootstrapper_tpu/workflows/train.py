@@ -64,6 +64,11 @@ def run_training(config_file: str, **overrides) -> dict:
     batch_size = cfg.get("batch_size")
 
     model = Model.from_setup(setup_dir)
+    if not cfg.get("fold_xy", False):
+        # train unfolded: the space-to-depth fold targets big-tile
+        # inference; its gradient graph trips an XLA:TPU compiler bug
+        # (space_to_batch_converter halo check) at training tile sizes
+        model = Model({**model.net_config, "fold_xy": False})
     model.validate_shapes()
     spec = SetupSpec(model.net_config, tuple(voxel_size))
 

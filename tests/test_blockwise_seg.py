@@ -150,3 +150,33 @@ def test_fragments_with_audit(tmp_path):
         filter_fragments=0.0, num_workers=4, audit=True,
     )
     assert res.ok
+
+
+def test_open_rag_dispatch(tmp_path):
+    """db_file -> SQLite; db_host/db_name -> PgSQL (import-gated)."""
+    import pytest
+
+    from bootstrapper_tpu.post.rag import PgRagDB, RagDB, open_rag
+
+    rag = open_rag({"db_file": str(tmp_path / "r.db")}, mode="w")
+    assert isinstance(rag, RagDB)
+    rag.write_nodes([1, 2], np.zeros((2, 3)))
+    assert rag.counts() == (2, 0)
+
+    try:
+        import psycopg2  # noqa: F401
+
+        have_pg = True
+    except ImportError:
+        try:
+            import psycopg  # noqa: F401
+
+            have_pg = True
+        except ImportError:
+            have_pg = False
+    if not have_pg:
+        with pytest.raises(ImportError, match="psycopg"):
+            open_rag({"db_name": "x", "db_host": "localhost"})
+    # signed/unsigned BIGINT roundtrip used by the Pg backend
+    for v in (0, 1, 2**63 - 1, 2**63, 2**64 - 1):
+        assert PgRagDB._unsigned(PgRagDB._signed(v)) == v
