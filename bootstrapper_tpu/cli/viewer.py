@@ -8,7 +8,6 @@ summary of each dataset (shape, dtype, ROI, voxel size, value summary)
 
 from __future__ import annotations
 
-import glob
 import os
 
 import numpy as np

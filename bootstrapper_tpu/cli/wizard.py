@@ -5,10 +5,9 @@ from __future__ import annotations
 
 import os
 
-import click
 
 from ..core.arrays import open_ds
-from .styles import cli_confirm, cli_echo, cli_prompt
+from .styles import cli_echo, cli_prompt
 
 
 def prompt_volumes() -> dict:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Iterable
-from typing import Optional, Sequence, Union
+from typing import Optional, Union
 
 Number = Union[int, float]
 

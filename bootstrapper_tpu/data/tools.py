@@ -29,7 +29,7 @@ from scipy import ndimage
 from .. import native
 from ..core.arrays import Array, open_ds, prepare_ds
 from ..core.blockwise import BlockwiseTask, run_blockwise_or_raise
-from ..core.geometry import Coordinate, Roi
+from ..core.geometry import Coordinate
 
 
 def bbox_crop(in_path: str, out_path: str, padding: int = 0) -> Array:

@@ -17,14 +17,14 @@ and the valid core is written back.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.arrays import Array, prepare_ds
-from ..core.geometry import Coordinate, Roi
+from ..core.geometry import Coordinate
 from ..ops.affinities import seg_to_affs
 from ..ops.lsd import lsd_descriptors_downsampled
 from ..predict.scan import tile_rois

@@ -12,7 +12,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from ..core.arrays import Array, open_ds
+from ..core.arrays import Array
 from ..core.geometry import Roi
 from .skeletons import skeleton_metrics
 from .voi import rand_voi

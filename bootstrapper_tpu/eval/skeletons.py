@@ -17,7 +17,7 @@ from correct runs (the conservative funlib behaviour).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import networkx as nx
 import numpy as np

@@ -15,7 +15,6 @@ Functional API: ``Model.init(key) -> params``, ``Model.apply(params, x)
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

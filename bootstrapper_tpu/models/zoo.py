@@ -19,7 +19,6 @@ from __future__ import annotations
 import copy
 import json
 import os
-from typing import Optional
 
 _K2 = [[[3, 3], [3, 3]]]
 _K3 = [[[3, 3, 3], [3, 3, 3]]]

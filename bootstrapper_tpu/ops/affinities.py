@@ -21,7 +21,6 @@ over leading batch dims with ``jax.vmap`` if needed.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

@@ -37,7 +37,6 @@ training targets and error maps is.)
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

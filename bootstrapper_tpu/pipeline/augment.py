@@ -32,8 +32,6 @@ Covered (reference node in parens):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ device program does targets, inputs and augments per batch.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

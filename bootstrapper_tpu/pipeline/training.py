@@ -26,7 +26,6 @@ Setup semantics preserved:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Sequence
 
 import jax
@@ -34,7 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.geometry import Coordinate
-from ..models.model import Model, head_dims
 from ..ops.affinities import (
     affs_mask,
     balance_weights,

@@ -22,7 +22,7 @@ import numpy as np
 from scipy import ndimage
 
 from .. import native
-from ..core.arrays import Array, open_ds, prepare_ds
+from ..core.arrays import open_ds, prepare_ds
 from ..core.blockwise import BlockwiseTask, run_blockwise_or_raise
 from ..core.geometry import Coordinate, Roi
 

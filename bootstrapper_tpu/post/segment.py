@@ -9,7 +9,7 @@ thresholding the per-edge merge scores with union-find components.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -24,7 +24,7 @@ import numpy as np
 from scipy import ndimage
 
 from . import native
-from .core.arrays import Array, open_ds, prepare_ds
+from .core.arrays import Array, prepare_ds
 from .core.geometry import Coordinate, Roi
 
 logger = logging.getLogger(__name__)

@@ -23,7 +23,6 @@ from __future__ import annotations
 import os
 import pickle
 import re
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

@@ -9,7 +9,6 @@ volume.
 
 from __future__ import annotations
 
-import glob
 import json
 import logging
 import os

@@ -16,7 +16,7 @@ import os
 from typing import Optional
 
 from ..core.arrays import open_ds
-from ..core.geometry import Coordinate, Roi
+from ..core.geometry import Roi
 from ..models.model import Model
 from ..predict.scan import Predictor, prepare_prediction_outputs
 from ..train.loop import latest_checkpoint, load_params

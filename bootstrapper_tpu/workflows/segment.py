@@ -18,7 +18,7 @@ from typing import Optional
 import numpy as np
 
 from ..core.arrays import open_ds, prepare_ds
-from ..core.geometry import Coordinate, Roi
+from ..core.geometry import Roi
 from ..post.blockwise_seg import (
     _fmt_threshold,
     mws_pipeline_blockwise,
