@@ -41,6 +41,7 @@ def evaluate_thresholds(
     gt_labels: Optional[Array] = None,
     gt_skeletons: Optional[str] = None,
     mask: Optional[Array] = None,
+    num_workers: int = 1,
 ) -> Dict:
     node_ids, _ = rag.read_nodes()
     eu, ev, scores = rag.read_edges()
@@ -69,8 +70,7 @@ def evaluate_thresholds(
         if mask is not None:
             gt_vox = np.where(mask.to_ndarray(roi) > 0, gt_vox, 0)
 
-    results = {}
-    for t in thresholds:
+    def eval_one(t: float):
         comps = native.connected_components_edges(
             len(node_ids), du, dv, scores, t
         )
@@ -101,7 +101,18 @@ def evaluate_thresholds(
             voi["voi_sum"] = voi["voi_split"] + voi["voi_merge"]
             voi["nvi_sum"] = voi["nvi_split"] + voi["nvi_merge"]
             entry["voi"] = voi
-        results[float(t)] = entry
+        return float(t), entry
+
+    # per-threshold work is native C (ctypes releases the GIL) + numpy:
+    # a thread pool parallelises thresholds on multi-core hosts (the
+    # reference used an mp spawn pool, evaluate_thresholds.py:185-192)
+    if num_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_workers) as pool:
+            results = dict(pool.map(eval_one, thresholds))
+    else:
+        results = dict(eval_one(t) for t in thresholds)
 
     summary: Dict = {"thresholds": results}
     if gt_labels is not None:

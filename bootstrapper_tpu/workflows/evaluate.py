@@ -113,6 +113,7 @@ def run_evaluation(config_file: str, volume: Optional[str] = None) -> dict:
                 ),
                 gt_skeletons=gt.get("skeletons_file"),
                 mask=mask,
+                num_workers=int(ts.get("num_workers", 1)),
             )
             # json-safe keys
             sweep["thresholds"] = {

@@ -99,3 +99,15 @@ def test_threshold_sweep_via_evaluate_workflow(setup, tmp_path):
     sweep = out["vol"]["threshold_sweep"]
     assert sweep["best_voi"]["threshold"] == 0.5
     assert "0.9" in sweep["thresholds"]
+
+
+def test_threaded_sweep_matches_serial(setup):
+    serial = evaluate_thresholds(
+        setup["frags"], setup["rag"], [0.15, 0.5, 0.9],
+        gt_labels=setup["gt"], gt_skeletons=setup["skels"],
+    )
+    threaded = evaluate_thresholds(
+        setup["frags"], setup["rag"], [0.15, 0.5, 0.9],
+        gt_labels=setup["gt"], gt_skeletons=setup["skels"], num_workers=3,
+    )
+    assert serial == threaded
