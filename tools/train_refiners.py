@@ -41,38 +41,73 @@ def prune_checkpoints(setup_dir: str, keep: int = 1):
         os.remove(os.path.join(setup_dir, name))
 
 
-def train_one(name: str, iters: int, save_every: int) -> dict:
+def train_one(name, iters, save_every, chunk, deadline=None) -> dict:
+    """Train in fresh-subprocess chunks (auto-resume stitches them): the
+    long-lived training process slows ~3x over a few thousand
+    iterations on this host, so bounded chunks keep the average rate."""
+    import subprocess
+    import re
+
     from bootstrapper_tpu.models.zoo import write_net_config
     from bootstrapper_tpu.utils import tomlio
-    from bootstrapper_tpu.workflows.train import run_training
 
     setup_dir = os.path.join(HERE, "pretrained", name)
     write_net_config(name, setup_dir)
-    cfg = {
-        "setup_dir": setup_dir,
-        "voxel_size": [1, 1, 1],
-        "max_iterations": iters,
-        "save_checkpoints_every": save_every,
-        "save_snapshots_every": 0,
-    }
     toml_path = os.path.join(setup_dir, "train.toml")
-    tomlio.dump({"train": cfg}, toml_path)
     t0 = time.time()
-    result = run_training(toml_path)
-    result["wall_s"] = round(time.time() - t0, 1)
+
+    def done_iters():
+        best = 0
+        for n in os.listdir(setup_dir):
+            m = re.match(r"model_checkpoint_(\d+)$", n)
+            if m:
+                best = max(best, int(m.group(1)))
+        return best
+
+    while done_iters() < iters:
+        if deadline and time.time() > deadline:
+            break
+        target = min(iters, done_iters() + chunk)
+        cfg = {
+            "setup_dir": setup_dir,
+            "voxel_size": [1, 1, 1],
+            "max_iterations": target,
+            "save_checkpoints_every": save_every,
+            "save_snapshots_every": 0,
+        }
+        tomlio.dump({"train": cfg}, toml_path)
+        code = (
+            f"import sys; sys.path.insert(0, {HERE!r})\n"
+            "from bootstrapper_tpu.workflows.train import run_training\n"
+            f"run_training({toml_path!r})\n"
+        )
+        proc = subprocess.run([sys.executable, "-c", code])
+        if proc.returncode != 0:
+            return {
+                "iterations": done_iters(), "wall_s": round(time.time() - t0),
+                "error": f"chunk rc={proc.returncode}",
+            }
     prune_checkpoints(setup_dir)
-    return result
+    return {"iterations": done_iters(), "wall_s": round(time.time() - t0, 1)}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10000)
     ap.add_argument("--save-every", type=int, default=1000)
+    ap.add_argument("--chunk", type=int, default=2000)
     ap.add_argument("--setups", default=",".join(REFINERS))
+    ap.add_argument("--deadline", type=float, default=None,
+                    help="unix time after which no new chunk starts")
     args = ap.parse_args()
     for name in args.setups.split(","):
+        if args.deadline and time.time() > args.deadline:
+            print(json.dumps({"setup": name, "skipped": "deadline"}),
+                  flush=True)
+            continue
         print(f"=== training {name} to {args.iters} iterations", flush=True)
-        res = train_one(name, args.iters, args.save_every)
+        res = train_one(name, args.iters, args.save_every, args.chunk,
+                        args.deadline)
         print(json.dumps({"setup": name, **res}), flush=True)
 
 
