@@ -217,8 +217,12 @@ void mutex_watershed(
         bool a_small = la.size() <= lb.size();
         auto& small = a_small ? la : lb;
         uint64_t other = a_small ? rb : ra;
-        for (uint64_t node : small) {
-            if (uf.find(node) == other) return true;
+        for (uint64_t& node : small) {
+            uint64_t r = uf.find(node);
+            node = r;  // path-compress the stored entry in place: a
+                       // root stands for the same constraint and keeps
+                       // later finds O(1)
+            if (r == other) return true;
         }
         return false;
     };

@@ -131,7 +131,9 @@ def _grid_edges(shape, neighborhood, strides=None, randomized=False,
         if strides is not None and max(abs(o) for o in off) > 1:
             st = strides[c] if isinstance(strides[0], (list, tuple)) else strides
             if randomized and rng is not None:
-                keep = rng.uniform(size=u.shape) < 1.0 / np.prod(st)
+                keep = rng.random(u.shape, dtype=np.float32) < np.float32(
+                    1.0 / np.prod(st)
+                )
                 u, v = u[keep], v[keep]
             else:
                 sl = tuple(slice(None, None, s) for s in st)
@@ -155,27 +157,34 @@ def mutex_watershed_from_affinities(
     """Mutex watershed fragments (mws capability): the affinity "shift"
     (noise + smoothed-affs bias + per-channel bias) reproduces the
     reference preprocessing (``post/mws.py:12-59``); the signed weights
-    then drive the native sorted-edge mutex clustering."""
-    affs = np.asarray(affs, np.float64)
+    then drive the native sorted-edge mutex clustering.
+
+    Weight prep is per-EDGE, not per-grid-cell: each (channel, voxel)
+    pair sources at most one edge, so gathering float32 affinities
+    first and adding bias/noise to the gathered weights is equivalent
+    to the reference's full-grid shift — without the C*volume float64
+    temporaries (the grid is ~3x larger than the edge list under the
+    default strides)."""
+    affs = np.asarray(affs, np.float32)
     rng = np.random.default_rng(seed)
 
-    shift = np.zeros_like(affs)
-    if noise_eps is not None:
-        shift += rng.standard_normal(affs.shape) * noise_eps
     if sigma is not None:
-        shift += ndimage.gaussian_filter(affs, sigma=(0, *sigma)) - affs
-    shift += np.asarray(bias, np.float64).reshape(
-        (-1,) + (1,) * (affs.ndim - 1)
-    )
-    weights_grid = affs + shift
+        # smoothed-affinity bias needs the full grid (sigma is off in
+        # the shipped defaults)
+        affs = affs + (
+            ndimage.gaussian_filter(affs, sigma=(0, *sigma)) - affs
+        )
 
     shape = affs.shape[1:]
     u, v, c = _grid_edges(
         shape, neighborhood, strides, randomized_strides, rng
     )
-    w = weights_grid.reshape(len(neighborhood), -1)
+    w = affs.reshape(len(neighborhood), -1)
     # weight of edge (u -> u+off) read at the source voxel of channel c
-    ew = w[c, u]
+    ew = w[c, u].astype(np.float64)
+    ew += np.asarray(bias, np.float64)[c]
+    if noise_eps is not None:
+        ew += rng.standard_normal(ew.size) * noise_eps
     labels = native.mutex_watershed_edges(int(np.prod(shape)), u, v, ew)
     # densify cluster roots to 1..K
     frags = labels.reshape(shape)
