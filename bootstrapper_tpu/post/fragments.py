@@ -118,30 +118,36 @@ def watershed_from_affinities(
 
 def _grid_edges(shape, neighborhood, strides=None, randomized=False,
                 rng=None):
-    """Edge lists (u, v, channel, valid-mask) for offset neighborhoods on
-    a flat grid. Long-range channels may be subsampled by strides."""
+    """Edge lists (u, v, channel) for offset neighborhoods on a flat
+    grid. Long-range channels may be subsampled by strides.
+    v = u + flat offset, so only the source indices are materialised."""
     n = int(np.prod(shape))
     idx = np.arange(n).reshape(shape)
+    flat = [int(np.prod(shape[d + 1 :])) for d in range(len(shape))]
     us, vs, cs = [], [], []
     for c, off in enumerate(neighborhood):
         src = [slice(max(0, -o), min(s, s - o)) for o, s in zip(off, shape)]
-        dst = [slice(max(0, o), min(s, s + o)) for o, s in zip(off, shape)]
+        doff = int(sum(o * f for o, f in zip(off, flat)))
         u = idx[tuple(src)]
-        v = idx[tuple(dst)]
         if strides is not None and max(abs(o) for o in off) > 1:
             st = strides[c] if isinstance(strides[0], (list, tuple)) else strides
             if randomized and rng is not None:
+                u = u.ravel()
                 keep = rng.random(u.shape, dtype=np.float32) < np.float32(
                     1.0 / np.prod(st)
                 )
-                u, v = u[keep], v[keep]
+                u = u[keep]
             else:
-                sl = tuple(slice(None, None, s) for s in st)
-                u, v = u[sl], v[sl]
-        us.append(u.ravel())
-        vs.append(v.ravel())
+                u = u[tuple(slice(None, None, s) for s in st)]
+        u = u.ravel()
+        us.append(u)
+        vs.append(u + doff)
         cs.append(np.full(u.size, c, np.int32))
-    return np.concatenate(us), np.concatenate(vs), np.concatenate(cs)
+    return (
+        np.concatenate(us).astype(np.uint64),
+        np.concatenate(vs).astype(np.uint64),
+        np.concatenate(cs),
+    )
 
 
 def mutex_watershed_from_affinities(
