@@ -344,6 +344,43 @@ def unet_init(key, cfg: UNetConfig, dtype=jnp.float32):
     return {"l_conv": l_conv, "r_up": r_up, "r_conv": r_conv}
 
 
+def _lift_2d_config(cfg: UNetConfig) -> UNetConfig:
+    """A 2D net as a 3D net with a unit z-axis: kernels (k1,k2) ->
+    (1,k1,k2), factors (a,b) -> (1,a,b).  Convolutions are identical;
+    the whole 3D fold/lazy-decoder machinery then applies to the 2D
+    nets' equally lane-starved first level."""
+    return UNetConfig(
+        in_channels=cfg.in_channels,
+        num_fmaps=cfg.num_fmaps,
+        fmap_inc_factor=cfg.fmap_inc_factor,
+        downsample_factors=[(1, *f) for f in cfg.downsample_factors],
+        kernel_size_down=[
+            [(1, *k) for k in lvl] for lvl in cfg.kernel_size_down
+        ],
+        kernel_size_up=[
+            [(1, *k) for k in lvl] for lvl in cfg.kernel_size_up
+        ],
+        activation=cfg.activation,
+        num_heads=cfg.num_heads,
+        num_fmaps_out=cfg.num_fmaps_out,
+        constant_upsample=cfg.constant_upsample,
+        padding=cfg.padding,
+        fold_xy=cfg.fold_xy,
+    )
+
+
+def _lift_2d_params(params):
+    """Insert the unit z-axis into every conv weight (biases unchanged)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: (
+            leaf[None]
+            if leaf.ndim == 4 and path and getattr(path[-1], "key", None) == "w"
+            else leaf
+        ),
+        params,
+    )
+
+
 def _fold_eligible(cfg: UNetConfig, x) -> bool:
     """Level-0 xy fold applies: 3D net, (1,2,2) first downsample, odd xy
     kernels at level 0, even xy input extents."""
@@ -419,6 +456,23 @@ def unet_apply(
     With ``return_folded=True`` and an eligible 3D config, per-head
     outputs stay in the 2x2-xy-folded layout (N, D, H/2, W/2, 4*C) so
     callers can run 1x1 heads folded; detect by channel count."""
+    if (
+        cfg.dims == 2
+        and cfg.fold_xy
+        and tuple(cfg.downsample_factors[0]) == (2, 2)
+        and x.shape[1] % 2 == 0
+        and x.shape[2] % 2 == 0
+    ):
+        # run the 2D net as unit-z 3D so the fold applies (lane-starved
+        # first level is the same problem in both)
+        outs = unet_apply(
+            _lift_2d_params(params),
+            x[:, None],
+            _lift_2d_config(cfg),
+            compute_dtype,
+            return_folded=False,
+        )
+        return [o[:, 0] for o in outs]
     crop_factors = cfg.crop_factors
     dims = cfg.dims
 

@@ -229,3 +229,44 @@ def test_model_fold_exact_and_grads():
     flat_b, _ = ravel_pytree(g_base)
     np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_b),
                                rtol=0, atol=5e-4)
+
+
+def test_2d_net_lifted_fold_exact():
+    """2D nets run as unit-z 3D with the fold; outputs match unfolded."""
+    cfg2d = UNetConfig(
+        in_channels=3,
+        num_fmaps=4,
+        fmap_inc_factor=2,
+        downsample_factors=[[2, 2]] * 2,
+        kernel_size_down=[[[3, 3], [3, 3]]] * 3,
+        kernel_size_up=[[[3, 3], [3, 3]]] * 2,
+    )
+    params = unet_init(jax.random.PRNGKey(30), cfg2d)
+    x = jax.random.normal(jax.random.PRNGKey(31), (1, 60, 68, 3),
+                          jnp.float32)
+    folded = unet_apply(params, x, cfg2d, compute_dtype=jnp.float32)
+    base = unet_apply(
+        params, x,
+        UNetConfig(**{**dataclass_dict(cfg2d), "fold_xy": False}),
+        compute_dtype=jnp.float32,
+    )
+    assert folded[0].ndim == 4  # (n, h, w, c)
+    np.testing.assert_allclose(np.asarray(folded[0]), np.asarray(base[0]),
+                               rtol=0, atol=2e-5)
+
+
+def test_2d_model_fold_exact():
+    nc = dict(Model.from_setup("2d_mtlsd").net_config)
+    nc.update(num_fmaps=2, fmap_inc_factor=2,
+              input_shape=[100, 100], output_shape=[8, 8],
+              shape_increase=[0, 0])
+    m = Model(nc, compute_dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(32))
+    x = jax.random.normal(jax.random.PRNGKey(33), (1, 100, 100, 3),
+                          jnp.float32)
+    y_fold = m.apply(params, x)
+    nc2 = dict(nc, fold_xy=False)
+    y_base = Model(nc2, compute_dtype=jnp.float32).apply(params, x)
+    for k in y_fold:
+        np.testing.assert_allclose(np.asarray(y_fold[k]),
+                                   np.asarray(y_base[k]), rtol=0, atol=2e-5)
