@@ -74,3 +74,25 @@ def test_utils_download_ckpts_message(runner):
     )
     assert res.exit_code == 0
     assert "no network egress" in res.output
+
+
+def test_view_text_inspector(tmp_path):
+    """bs view falls back to the text inspector without neuroglancer
+    (reference view.py capability, headless path)."""
+    import numpy as np
+    from click.testing import CliRunner
+
+    from bootstrapper_tpu.cli import cli
+    from bootstrapper_tpu.core.arrays import prepare_ds
+
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/labels"), (4, 16, 16), (0, 0, 0),
+        (40, 4, 4), np.uint64,
+    )
+    ds[ds.roi] = np.arange(4 * 16 * 16).reshape(4, 16, 16).astype(np.uint64)
+    result = CliRunner().invoke(
+        cli, ["view", str(tmp_path / "v.zarr")], catch_exceptions=False
+    )
+    assert result.exit_code == 0, result.output
+    assert "shape=(4, 16, 16)" in result.output
+    assert "voxel_size=(40, 4, 4)" in result.output
