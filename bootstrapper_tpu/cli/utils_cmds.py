@@ -121,16 +121,22 @@ def convert_ckpt(torch_ckpt, setup_dir, out_path):
 @click.argument("setup_name")
 @click.argument("setup_dir")
 def download_ckpts(setup_name, setup_dir):
-    """Fetch pretrained checkpoints for a 'from' setup.
+    """Install pretrained checkpoints for a 'from' setup.
 
     The reference downloads GitHub release zips (``configs.py:354-382``);
-    this environment has no egress, so this reports how to train the
-    equivalent checkpoint locally instead.
-    """
-    cli_echo(
-        f"no network egress: pretrained weights for {setup_name} cannot be "
-        f"downloaded. Train them from synthetic data instead:\n"
-        f"  bs train <round>/01_train_{setup_name}.toml\n"
-        f"(synthetic setups need no samples; see pipeline/synthetic.py)",
-        "utils",
-    )
+    here the synthetic-trained release checkpoints ship with the package
+    (``pretrained/``, override with $BS_PRETRAINED_DIR) and are copied
+    into the setup dir — same UX, no network."""
+    from ..configs import install_pretrained, pretrained_dir
+
+    ckpt = install_pretrained(setup_name, setup_dir)
+    if ckpt:
+        cli_echo(f"installed {ckpt}", "utils")
+    else:
+        cli_echo(
+            f"no shipped checkpoint for {setup_name!r} under "
+            f"{pretrained_dir()}; train it from synthetic data instead "
+            f"(synthetic setups need no samples: tools/train_refiners.py "
+            f"or bs train with a setup_dir only)",
+            "utils",
+        )

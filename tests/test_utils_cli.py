@@ -67,13 +67,16 @@ def test_utils_scale_pyramid_cli(tmp_path, runner):
     assert res.exit_code == 0
 
 
-def test_utils_download_ckpts_message(runner):
+def test_utils_download_ckpts_missing_setup_message(runner, monkeypatch,
+                                                    tmp_path):
+    # no shipped artefact for this name -> advises local training
+    monkeypatch.setenv("BS_PRETRAINED_DIR", str(tmp_path / "empty"))
     res = runner.invoke(
         cli, ["utils", "download-ckpts", "3d_affs_from_2d_lsd", "setups/x"],
         catch_exceptions=False,
     )
     assert res.exit_code == 0
-    assert "no network egress" in res.output
+    assert "no shipped checkpoint" in res.output
 
 
 def test_view_text_inspector(tmp_path):
@@ -96,3 +99,26 @@ def test_view_text_inspector(tmp_path):
     assert result.exit_code == 0, result.output
     assert "shape=(4, 16, 16)" in result.output
     assert "voxel_size=(40, 4, 4)" in result.output
+
+
+def test_download_ckpts_installs_shipped(tmp_path):
+    """bs utils download-ckpts installs the shipped release checkpoint
+    (reference download_checkpoints UX, offline)."""
+    from click.testing import CliRunner
+
+    from bootstrapper_tpu.cli import cli
+
+    result = CliRunner().invoke(
+        cli,
+        ["utils", "download-ckpts", "3d_affs_from_2d_lsd",
+         str(tmp_path / "setup")],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "installed" in result.output
+    import os
+
+    assert any(
+        n.startswith("model_checkpoint")
+        for n in os.listdir(tmp_path / "setup")
+    )
