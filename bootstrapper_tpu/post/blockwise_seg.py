@@ -369,11 +369,29 @@ def _run_sharded(func_name: str, kwargs: dict, workers: int):
     if roi is not None:
         kw["roi"] = [list(roi.offset), list(roi.shape)]
 
+    # sharded workers default to host-side seed detection: N processes
+    # contending for one accelerator per block serialises on the device
+    # (opt back in with BS_DEVICE_SEEDS=1)
+    pre = "import os; os.environ.setdefault('BS_DEVICE_SEEDS', '0')\n"
+    # workers inherit the parent's JAX backend choice: test/CPU runs
+    # must not have every worker initialise the TPU platform
+    if "jax" in sys.modules:
+        try:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                pre += (
+                    "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+                )
+        except Exception:
+            pass
+
     def make_argv(i, n):
         blob = json.dumps({**kw, "block_stride": n, "block_offset": i,
                            "workers": 1})
         code = (
-            "import json\n"
+            pre
+            + "import json\n"
             "from bootstrapper_tpu.post import blockwise_seg as B\n"
             "from bootstrapper_tpu.core.geometry import Roi\n"
             f"kw = json.loads({blob!r})\n"

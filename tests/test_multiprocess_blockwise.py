@@ -229,3 +229,37 @@ def test_sharded_pipeline_survives_worker_crash(affs_zarr, single_run, monkeypat
     s1 = open_ds(f"{root}/single.zarr/segmentations_ws/mean--0_5").to_ndarray()
     s3 = open_ds(segs[0.5]).to_ndarray()
     np.testing.assert_array_equal(s1, s3)
+
+
+def test_cli_segment_workers_override(affs_zarr, single_run):
+    """bs segment -p workers=N drives the crash-isolated sharded
+    pipeline through the CLI (daisy num_workers analog)."""
+    from click.testing import CliRunner
+
+    from bootstrapper_tpu.cli import cli
+    from bootstrapper_tpu.core.arrays import open_ds
+    from bootstrapper_tpu.utils import tomlio
+
+    affs_path, root = affs_zarr
+    cfg = {
+        "segment": {
+            "vol": {
+                "affs_dataset": affs_path,
+                "seg_dataset_prefix": f"{root}/cli.zarr/segmentations",
+                "blockwise": True,
+                "block_shape": [4, 32, 32],
+                "context": [1, 4, 4],
+                "num_workers": 2,
+                "ws_params": {"thresholds": [0.5]},
+            }
+        }
+    }
+    toml = f"{root}/seg_cli.toml"
+    tomlio.dump(cfg, toml)
+    result = CliRunner().invoke(
+        cli, ["segment", toml, "-p", "workers=2"], catch_exceptions=False
+    )
+    assert result.exit_code == 0, result.output
+    s1 = open_ds(f"{root}/single.zarr/segmentations_ws/mean--0_5").to_ndarray()
+    s2 = open_ds(f"{root}/cli.zarr/segmentations_ws/mean--0_5").to_ndarray()
+    np.testing.assert_array_equal(s1, s2)
