@@ -27,18 +27,35 @@ REFINERS = [
 ]
 
 
-def prune_checkpoints(setup_dir: str, keep: int = 1):
-    """Keep only the newest ``keep`` checkpoints (release artefacts stay
-    small; auto-resume only ever reads the latest)."""
+def prune_checkpoints(setup_dir: str, keep: int = 1, slim: bool = True):
+    """Keep only the newest ``keep`` checkpoints and strip optimiser
+    state from the survivors (release artefacts ~3x smaller; resume
+    re-inits Adam, which recovers within ~100 iterations)."""
     import re
+
+    import numpy as np
 
     ckpts = []
     for name in os.listdir(setup_dir):
         m = re.match(r"model_checkpoint_(\d+)$", name)
         if m:
             ckpts.append((int(m.group(1)), name))
-    for _, name in sorted(ckpts)[:-keep]:
+    ckpts.sort()
+    for _, name in ckpts[:-keep]:
         os.remove(os.path.join(setup_dir, name))
+    if not slim:
+        return
+    for _, name in ckpts[-keep:]:
+        path = os.path.join(setup_dir, name)
+        data = np.load(path)
+        if not any(k.startswith("opt/") for k in data.files):
+            continue
+        arrays = {
+            k: data[k] for k in data.files if not k.startswith("opt/")
+        }
+        with open(path + ".tmp", "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(path + ".tmp", path)
 
 
 def train_one(name, iters, save_every, chunk, deadline=None) -> dict:
