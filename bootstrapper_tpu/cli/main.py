@@ -304,14 +304,26 @@ def prepare_filter(volumes_toml, seg_prefix, round_name, out):
 @click.argument("config_file", type=click.Path(exists=True))
 @click.option("--max-iterations", "-i", type=int, default=None)
 @click.option("--batch-size", type=int, default=None)
+@click.option("--save-checkpoints-every", "-ce", type=int, default=None)
+@click.option("--save-snapshots-every", "-s", type=int, default=None)
+@click.option("--voxel-size", "-v", default=None,
+              help="space-separated integers, e.g. '40 4 4'")
 @click.option("--mesh", is_flag=True, default=None,
               help="shard the train step over all devices (data+space)")
-def train(config_file, max_iterations, batch_size, mesh):
-    """Train a setup from a training config TOML."""
+def train(config_file, max_iterations, batch_size, save_checkpoints_every,
+          save_snapshots_every, voxel_size, mesh):
+    """Train a setup from a training config TOML.
+
+    Options override the config file (reference ``train.py:136-149``)."""
     from ..workflows.train import run_training
 
     result = run_training(
         config_file, max_iterations=max_iterations, batch_size=batch_size,
+        save_checkpoints_every=save_checkpoints_every,
+        save_snapshots_every=save_snapshots_every,
+        voxel_size=(
+            [int(x) for x in voxel_size.split()] if voxel_size else None
+        ),
         mesh=mesh,
     )
     cli_echo(f"done: {result}", "train")
