@@ -339,8 +339,10 @@ def train(config_file, max_iterations, batch_size, save_checkpoints_every,
               help="maximise the inference tile for throughput")
 @click.option("--roi-offset", nargs=3, type=int, default=None)
 @click.option("--roi-shape", nargs=3, type=int, default=None)
+@click.option("--setup-id", default=None,
+              help="run only chain links whose setup name contains this")
 def predict(config_file, volume, batch_tiles, sharded, auto_tile,
-            roi_offset, roi_shape):
+            roi_offset, roi_shape, setup_id):
     """Run chained prediction from a prediction config TOML."""
     from ..workflows.predict import run_prediction
 
@@ -352,6 +354,7 @@ def predict(config_file, volume, batch_tiles, sharded, auto_tile,
         auto_tile=auto_tile,
         roi_offset=roi_offset or None,
         roi_shape=roi_shape or None,
+        setup_id=setup_id,
     )
     for k, v in result.items():
         cli_echo(
@@ -366,12 +369,22 @@ def predict(config_file, volume, batch_tiles, sharded, auto_tile,
               type=click.Choice(["ws", "mws", "cc"]))
 @click.option("--volume", "-v", default=None)
 @click.option("--param", "-p", multiple=True, help="key=value overrides")
-def segment(config_file, mode, volume, param):
+@click.option("--roi-offset", "-ro", nargs=3, type=int, default=None)
+@click.option("--roi-shape", "-rs", nargs=3, type=int, default=None)
+@click.option("--blockwise/--no-blockwise", "-b/ ", default=None)
+@click.option("--num-workers", "-n", type=int, default=None)
+@click.option("--block-shape", "-bs", nargs=3, type=int, default=None)
+@click.option("--block-context", "-bc", nargs=3, type=int, default=None)
+def segment(config_file, mode, volume, param, roi_offset, roi_shape,
+            blockwise, num_workers, block_shape, block_context):
     """Segment affinities (ws | mws | cc)."""
     from ..workflows.segment import run_segmentation
 
     result = run_segmentation(
-        config_file, mode=mode, volume=volume, param_overrides=param
+        config_file, mode=mode, volume=volume, param_overrides=param,
+        roi_offset=roi_offset or None, roi_shape=roi_shape or None,
+        blockwise=blockwise, num_workers=num_workers,
+        block_shape=block_shape or None, context=block_context or None,
     )
     for vol, segs in result.items():
         for k, path in segs.items():

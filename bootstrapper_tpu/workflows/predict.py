@@ -48,7 +48,12 @@ def run_prediction(
     auto_tile: bool = False,
     roi_offset=None,
     roi_shape=None,
+    setup_id: Optional[str] = None,
 ) -> dict:
+    """Run the prediction chain(s) from a config.  ``setup_id``
+    restricts to chain links whose setup name contains it, reading that
+    link's configured input datasets from disk (reference
+    ``predict.py:246-265`` capability: re-run one setup of a chain)."""
     cfg = tomlio.load(config_file)
     cfg = cfg.get("predict", cfg)
     results = {}
@@ -66,6 +71,13 @@ def run_prediction(
         prev_arrays = [raw]
         for link in vcfg["chain"]:
             setup_dir = link["setup_dir"]
+            setup_name = os.path.basename(os.path.normpath(setup_dir))
+            if setup_id is not None:
+                if setup_id not in setup_name:
+                    continue
+                ins = link.get("input_datasets")
+                if ins:
+                    prev_arrays = [open_ds(p) for p in ins]
             model = Model.from_setup(setup_dir)
             ckpt = _find_checkpoint(
                 setup_dir, link.get("checkpoint_iteration", "latest")

@@ -52,13 +52,33 @@ def run_segmentation(
     mode: str = "ws",
     volume: Optional[str] = None,
     param_overrides=(),
+    roi_offset=None,
+    roi_shape=None,
+    blockwise: Optional[bool] = None,
+    num_workers: Optional[int] = None,
+    block_shape=None,
+    context=None,
 ) -> dict:
+    """Kwargs override per-volume config values (reference
+    ``segment.py:145-183`` CLI option surface)."""
     cfg_all = tomlio.load(config_file)
     cfg_all = cfg_all.get("segment", cfg_all)
     results = {}
     for volume_name, cfg in cfg_all.items():
         if volume is not None and volume_name != volume:
             continue
+        cfg = dict(cfg)
+        if roi_offset is not None:
+            cfg["roi_offset"] = list(roi_offset)
+            cfg["roi_shape"] = list(roi_shape)
+        if blockwise is not None:
+            cfg["blockwise"] = blockwise
+        if num_workers is not None:
+            cfg["num_workers"] = num_workers
+        if block_shape is not None:
+            cfg["block_shape"] = list(block_shape)
+        if context is not None:
+            cfg["context"] = list(context)
         params = get_seg_config(cfg, mode, param_overrides)
         affs_path = cfg["affs_dataset"]
         blockwise = cfg.get("blockwise", False)
