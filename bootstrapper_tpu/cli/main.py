@@ -394,11 +394,19 @@ def segment(config_file, mode, volume, param, roi_offset, roi_shape,
 @cli.command()
 @click.argument("config_file", type=click.Path(exists=True))
 @click.option("--volume", "-v", default=None)
-def evaluate(config_file, volume):
+@click.option("--gt", "-gt", "gt_only", is_flag=True,
+              help="evaluate only against ground truth")
+@click.option("--pred", "-p", "pred_only", is_flag=True,
+              help="evaluate only against predictions (self-eval)")
+@click.option("--out-result", "-o", default=None)
+def evaluate(config_file, volume, gt_only, pred_only, out_result):
     """Evaluate segmentations (GT metrics and/or self-eval errors)."""
     from ..workflows.evaluate import run_evaluation
 
-    result = run_evaluation(config_file, volume=volume)
+    result = run_evaluation(
+        config_file, volume=volume, gt_only=gt_only, pred_only=pred_only,
+        out_result=out_result,
+    )
     for vol, res in result.items():
         cli_echo(f"{vol}: {len(res)} segmentations evaluated", "evaluate")
 

@@ -34,13 +34,28 @@ def get_seg_datasets(prefix: str) -> list:
     return sorted(out)
 
 
-def run_evaluation(config_file: str, volume: Optional[str] = None) -> dict:
+def run_evaluation(
+    config_file: str,
+    volume: Optional[str] = None,
+    gt_only: bool = False,
+    pred_only: bool = False,
+    out_result: Optional[str] = None,
+) -> dict:
+    """``gt_only``/``pred_only`` restrict to one evaluation mode and
+    ``out_result`` overrides the result JSON path (reference
+    ``evaluate.py:134-140`` option surface)."""
     cfg_all = tomlio.load(config_file)
     cfg_all = cfg_all.get("evaluate", cfg_all)
     all_results = {}
     for volume_name, cfg in cfg_all.items():
         if volume is not None and volume_name != volume:
             continue
+        cfg = dict(cfg)
+        if gt_only:
+            cfg.pop("pred", None)
+            cfg.pop("threshold_sweep", None)
+        if pred_only:
+            cfg.pop("gt", None)
         seg_paths = get_seg_datasets(cfg["seg_datasets_prefix"])
         if not seg_paths:
             logger.warning(
@@ -121,9 +136,13 @@ def run_evaluation(config_file: str, volume: Optional[str] = None) -> dict:
             }
             results["threshold_sweep"] = sweep
 
-        out_dir = cfg.get("out_result_dir", ".")
-        os.makedirs(out_dir, exist_ok=True)
-        out_json = os.path.join(out_dir, f"{volume_name}_results.json")
+        if out_result:
+            out_json = out_result
+            os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
+        else:
+            out_dir = cfg.get("out_result_dir", ".")
+            os.makedirs(out_dir, exist_ok=True)
+            out_json = os.path.join(out_dir, f"{volume_name}_results.json")
         with open(out_json, "w") as f:
             json.dump(results, f, indent=2)
         logger.info("wrote %s", out_json)
