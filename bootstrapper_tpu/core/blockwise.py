@@ -400,6 +400,31 @@ def run_blockwise(
     )
 
 
+def host_only_env(base: Optional[dict] = None) -> dict:
+    """Subprocess environment for host-only workers: skip accelerator
+    initialisation at interpreter startup.
+
+    Some images preload JAX + a TPU platform plugin into *every* Python
+    process via a ``sitecustomize`` on ``PYTHONPATH`` — ~2.5 s of dead
+    startup per worker that never touches the device.  Strip those
+    entries (keeping any others, plus the package root so workers can
+    import us from any cwd) and pin JAX to CPU in case a worker does
+    import it lazily."""
+    import sys as _sys
+
+    env = dict(os.environ if base is None else base)
+    parts = [
+        p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and not os.path.exists(os.path.join(p, "sitecustomize.py"))
+    ]
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    parts.append(os.path.dirname(pkg_root))
+    env["PYTHONPATH"] = os.pathsep.join(parts)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("BS_DEVICE_SEEDS", "0")
+    return env
+
+
 def run_sharded_subprocesses(
     make_argv: Callable[[int, int], List[str]],
     num_workers: int,

@@ -362,36 +362,30 @@ def _run_sharded(func_name: str, kwargs: dict, workers: int):
     import json
     import sys
 
-    from ..core.blockwise import run_sharded_subprocesses
+    from ..core.blockwise import host_only_env, run_sharded_subprocesses
 
     kw = dict(kwargs)
     roi = kw.get("roi")
     if roi is not None:
         kw["roi"] = [list(roi.offset), list(roi.shape)]
 
-    # sharded workers default to host-side seed detection: N processes
-    # contending for one accelerator per block serialises on the device
-    # (opt back in with BS_DEVICE_SEEDS=1)
-    pre = "import os; os.environ.setdefault('BS_DEVICE_SEEDS', '0')\n"
-    # workers inherit the parent's JAX backend choice: test/CPU runs
-    # must not have every worker initialise the TPU platform
-    if "jax" in sys.modules:
-        try:
-            import jax
-
-            if jax.default_backend() == "cpu":
-                pre += (
-                    "import jax; jax.config.update('jax_platforms', 'cpu')\n"
-                )
-        except Exception:
-            pass
+    # Segmentation workers are host-only: N processes contending for one
+    # accelerator per block would serialise on the device, and on images
+    # that preload the TPU platform into every interpreter the startup
+    # cost alone is ~2.5 s per spawn.  host_only_env() strips the
+    # preload and pins JAX (if lazily imported) to CPU; opt device seeds
+    # back in with BS_DEVICE_SEEDS=1.
+    env = host_only_env()
+    if os.environ.get("BS_DEVICE_SEEDS") == "1":
+        env["BS_DEVICE_SEEDS"] = "1"
+        env.pop("JAX_PLATFORMS", None)
+        env["PYTHONPATH"] = os.environ.get("PYTHONPATH", "")
 
     def make_argv(i, n):
         blob = json.dumps({**kw, "block_stride": n, "block_offset": i,
                            "workers": 1})
         code = (
-            pre
-            + "import json\n"
+            "import json\n"
             "from bootstrapper_tpu.post import blockwise_seg as B\n"
             "from bootstrapper_tpu.core.geometry import Roi\n"
             f"kw = json.loads({blob!r})\n"
@@ -401,7 +395,7 @@ def _run_sharded(func_name: str, kwargs: dict, workers: int):
         )
         return [sys.executable, "-c", code]
 
-    run_sharded_subprocesses(make_argv, workers)
+    run_sharded_subprocesses(make_argv, workers, env=env)
 
 
 def _fresh_ledger(path: str):
@@ -475,7 +469,12 @@ def waterz_pipeline_blockwise(
 
     frag_path = f"{output_container}/fragments_ws"
     rag_path = f"{output_container}/rag_ws.db"
-    if not sharded or block_offset == 0:
+    # Setup must be idempotent under crash-respawn: a respawned shard 0
+    # re-enters here after the ledger already recorded setup_ws, and
+    # recreating the datasets/RAG (mode="w") would wipe blocks other
+    # shards already wrote while the ledger still marks them done.
+    setup_done = bool(led) and led.count_done("setup_ws", [0]) > 0
+    if (not sharded or block_offset == 0) and not setup_done:
         fragments = prepare_ds(
             frag_path, vox_shape, total.offset, vs, np.uint64,
             chunk_shape=chunk,
@@ -489,7 +488,8 @@ def waterz_pipeline_blockwise(
         if led:
             led.mark_done("setup_ws", 0)
     else:
-        led.wait_for("setup_ws", [0])
+        if led:
+            led.wait_for("setup_ws", [0])
         fragments = open_ds(frag_path, mode="r+")
         rag = RagDB(rag_path, mode="r+")
 
@@ -512,12 +512,14 @@ def waterz_pipeline_blockwise(
         ledger=ledger, task_name="agglomerate_ws",
     )
     lut_dir = f"{output_container}/luts_ws"
-    if not sharded or block_offset == 0:
+    luts_done = bool(led) and led.count_done("luts_ws", [0]) > 0
+    if (not sharded or block_offset == 0) and not luts_done:
         luts = find_segments(rag, lut_dir, thresholds)
         if led:
             led.mark_done("luts_ws", 0)
     else:
-        led.wait_for("luts_ws", [0])
+        if led:
+            led.wait_for("luts_ws", [0])
         luts = {
             t: os.path.join(
                 lut_dir, f"seg_frags2local_{_fmt_threshold(t)}.npz"
@@ -583,7 +585,9 @@ def mws_pipeline_blockwise(
 
     frag_path = f"{output_container}/fragments_mws"
     rag_path = f"{output_container}/rag_mws.db"
-    if not sharded or block_offset == 0:
+    # Idempotent under crash-respawn of shard 0 (see waterz pipeline).
+    setup_done = bool(led) and led.count_done("setup_mws", [0]) > 0
+    if (not sharded or block_offset == 0) and not setup_done:
         fragments = prepare_ds(
             frag_path, vox_shape, total.offset, vs, np.uint64,
             chunk_shape=chunk,
@@ -596,7 +600,8 @@ def mws_pipeline_blockwise(
         if led:
             led.mark_done("setup_mws", 0)
     else:
-        led.wait_for("setup_mws", [0])
+        if led:
+            led.wait_for("setup_mws", [0])
         fragments = open_ds(frag_path, mode="r+")
         rag = RagDB(rag_path, mode="r+")
 
@@ -616,12 +621,14 @@ def mws_pipeline_blockwise(
         ledger=ledger, task_name="agglomerate_mws",
     )
     lut_dir = f"{output_container}/luts_mws"
-    if not sharded or block_offset == 0:
+    luts_done = bool(led) and led.count_done("luts_mws", [0]) > 0
+    if (not sharded or block_offset == 0) and not luts_done:
         luts = global_mutex_segments(rag, lut_dir)
         if led:
             led.mark_done("luts_mws", 0)
     else:
-        led.wait_for("luts_mws", [0])
+        if led:
+            led.wait_for("luts_mws", [0])
         luts = {"mws": os.path.join(lut_dir, "seg_frags2local_mws.npz")}
     seg = open_ds(seg_path, mode="r+")
     extract_segmentation_blockwise(

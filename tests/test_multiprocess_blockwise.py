@@ -231,6 +231,80 @@ def test_sharded_pipeline_survives_worker_crash(affs_zarr, single_run, monkeypat
     np.testing.assert_array_equal(s1, s3)
 
 
+@pytest.mark.slow
+def test_shard0_crash_after_setup_does_not_wipe_output(
+    affs_zarr, single_run, monkeypatch
+):
+    """Shard 0 owns dataset/RAG creation.  If it crashes *after* setup
+    (and after other shards wrote blocks) its respawn must NOT re-enter
+    the create branch: prepare_ds(mode='w')/RagDB(mode='w') would wipe
+    data the ledger still marks done, which is then never rewritten —
+    silent zero output in exactly the crash case the ledger exists for."""
+    from bootstrapper_tpu.core.arrays import open_ds
+    from bootstrapper_tpu.post import blockwise_seg as B
+
+    affs_path, root = affs_zarr
+    crash_flag = f"{root}/crash0_once"
+
+    def crashy(func_name, kwargs, workers):
+        import json
+
+        from bootstrapper_tpu.core.blockwise import (
+            host_only_env,
+            run_sharded_subprocesses,
+        )
+
+        kw = dict(kwargs)
+        roi = kw.get("roi")
+        if roi is not None:
+            kw["roi"] = [list(roi.offset), list(roi.shape)]
+
+        def make_argv(i, n):
+            blob = json.dumps({**kw, "block_stride": n, "block_offset": i,
+                               "workers": 1})
+            # shard 0: run the fragment-extraction stage to completion
+            # (setup done, own blocks ledgered), then die once
+            patch = (
+                "import os\n"
+                "from bootstrapper_tpu.post import blockwise_seg as B\n"
+                "_orig = B.extract_fragments_blockwise\n"
+                "def _crash_after(*a, **k):\n"
+                "    r = _orig(*a, **k)\n"
+                f"    if {i} == 0 and not os.path.exists({crash_flag!r}):\n"
+                f"        open({crash_flag!r}, 'w').write('x')\n"
+                "        os._exit(139)\n"
+                "    return r\n"
+                "B.extract_fragments_blockwise = _crash_after\n"
+            )
+            code = (
+                patch
+                + "import json\n"
+                "from bootstrapper_tpu.core.geometry import Roi\n"
+                f"kw = json.loads({blob!r})\n"
+                "if kw.get('roi'):\n"
+                "    kw['roi'] = Roi(*kw['roi'])\n"
+                f"B.{func_name}(**kw)\n"
+            )
+            return [sys.executable, "-c", code]
+
+        run_sharded_subprocesses(make_argv, workers, max_restarts=2,
+                                 env=host_only_env())
+
+    monkeypatch.setattr(B, "_run_sharded", crashy)
+    segs = B.waterz_pipeline_blockwise(
+        affs_path, f"{root}/crashy0.zarr",
+        block_shape=(4, 32, 32), context_voxels=(1, 4, 4),
+        thresholds=[0.5], num_workers=2, workers=2,
+    )
+    assert os.path.exists(crash_flag)
+    f1 = open_ds(f"{root}/single.zarr/fragments_ws").to_ndarray()
+    f3 = open_ds(f"{root}/crashy0.zarr/fragments_ws").to_ndarray()
+    np.testing.assert_array_equal(f1, f3)
+    s1 = open_ds(f"{root}/single.zarr/segmentations_ws/mean--0_5").to_ndarray()
+    s3 = open_ds(segs[0.5]).to_ndarray()
+    np.testing.assert_array_equal(s1, s3)
+
+
 def test_cli_segment_workers_override(affs_zarr, single_run):
     """bs segment -p workers=N drives the crash-isolated sharded
     pipeline through the CLI (daisy num_workers analog)."""
