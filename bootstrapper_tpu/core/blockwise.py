@@ -92,12 +92,20 @@ class Ledger:
                 return conn.execute(
                     "SELECT COUNT(*) FROM done WHERE task=?", (task,)
                 ).fetchone()[0]
+            # chunk the IN(...) list: SQLite caps bound variables
+            # (999 on older builds), and end-of-stage barriers pass the
+            # full block grid
             ids = list(int(b) for b in block_ids)
-            q = ",".join("?" * len(ids))
-            return conn.execute(
-                f"SELECT COUNT(*) FROM done WHERE task=? AND block_id IN ({q})",
-                (task, *ids),
-            ).fetchone()[0]
+            total = 0
+            for i in range(0, len(ids), 500):
+                chunk = ids[i:i + 500]
+                q = ",".join("?" * len(chunk))
+                total += conn.execute(
+                    "SELECT COUNT(*) FROM done "
+                    f"WHERE task=? AND block_id IN ({q})",
+                    (task, *chunk),
+                ).fetchone()[0]
+            return total
 
     def wait_for(
         self,

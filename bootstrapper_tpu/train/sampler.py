@@ -130,14 +130,19 @@ class RandomLocationSampler:
 def fold_ids_u32(labels: np.ndarray) -> np.ndarray:
     """Label ids as uint32 for device transfer; ids beyond 2^32 (e.g.
     block-bumped pseudo-GT fragments) are xor-folded — 0 stays 0 and
-    distinct ids collide with probability ~K^2/2^33 per crop."""
+    distinct ids collide with probability ~K^2/2^33 per crop.  A
+    nonzero id whose halves are equal would fold to 0 (background);
+    those are remapped to an odd id instead so no foreground label
+    silently disappears from the training targets."""
     labels = np.asarray(labels)
     if labels.dtype == np.uint32:
         return labels
-    labels = labels.astype(np.uint64, copy=False)
-    if labels.size and int(labels.max()) >> 32:
-        labels = labels ^ (labels >> np.uint64(32))
-    return labels.astype(np.uint32)
+    src = labels.astype(np.uint64, copy=False)
+    if src.size and int(src.max()) >> 32:
+        folded = (src ^ (src >> np.uint64(32))).astype(np.uint32)
+        folded[(src != 0) & (folded == 0)] = np.uint32(1)
+        return folded
+    return src.astype(np.uint32)
 
 
 def renumber(labels: np.ndarray, max_labels: Optional[int] = None) -> np.ndarray:

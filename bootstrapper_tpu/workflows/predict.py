@@ -69,7 +69,7 @@ def run_prediction(
             roi = Roi(vcfg["roi_offset"], vcfg["roi_shape"])
 
         prev_arrays = [raw]
-        for link in vcfg["chain"]:
+        for idx, link in enumerate(vcfg["chain"]):
             setup_dir = link["setup_dir"]
             setup_name = os.path.basename(os.path.normpath(setup_dir))
             if setup_id is not None:
@@ -78,6 +78,15 @@ def run_prediction(
                 ins = link.get("input_datasets")
                 if ins:
                     prev_arrays = [open_ds(p) for p in ins]
+                elif idx > 0:
+                    # skipped earlier links leave prev_arrays == [raw];
+                    # running a refiner on raw would be silently wrong
+                    raise ValueError(
+                        f"--setup-id {setup_id!r} selects chain link "
+                        f"{idx} ({setup_name}) but the config has no "
+                        "input_datasets for it; add them so the model "
+                        "gets its real inputs"
+                    )
             model = Model.from_setup(setup_dir)
             ckpt = _find_checkpoint(
                 setup_dir, link.get("checkpoint_iteration", "latest")

@@ -68,6 +68,10 @@ def run_segmentation(
         if volume is not None and volume_name != volume:
             continue
         cfg = dict(cfg)
+        if (roi_offset is None) != (roi_shape is None):
+            raise ValueError(
+                "--roi-offset and --roi-shape must be given together"
+            )
         if roi_offset is not None:
             cfg["roi_offset"] = list(roi_offset)
             cfg["roi_shape"] = list(roi_shape)

@@ -48,6 +48,14 @@ class TestLedger:
         assert led.count_done("a", [1, 5]) == 1
         led.wait_for("a", [1, 2], timeout=1)
 
+    def test_count_done_large_id_list(self, tmp_path):
+        """End-of-stage barriers pass the whole block grid; the IN()
+        query must chunk below SQLite's bound-variable cap."""
+        led = Ledger(str(tmp_path / "led.db"))
+        for i in range(0, 3000, 2):
+            led.mark_done("a", i)
+        assert led.count_done("a", list(range(3000))) == 1500
+
     def test_wait_timeout(self, tmp_path):
         led = Ledger(str(tmp_path / "led.db"))
         with pytest.raises(TimeoutError):

@@ -113,3 +113,18 @@ def test_remove_small_segments():
     out = remove_small_segments(seg, min_size=5)
     assert 2 not in out
     assert (out[:5, :5] == 1).all()
+
+
+def test_roi_offset_without_shape_rejected(tmp_path):
+    """bs segment --roi-offset without --roi-shape is a usage error,
+    not a TypeError."""
+    import pytest
+
+    from bootstrapper_tpu.utils import tomlio
+    from bootstrapper_tpu.workflows.segment import run_segmentation
+
+    cfg = {"segment": {"v": {"affs_dataset": "x", "seg_dataset_prefix": "y"}}}
+    path = str(tmp_path / "seg.toml")
+    tomlio.dump(cfg, path)
+    with pytest.raises(ValueError, match="together"):
+        run_segmentation(path, roi_offset=(0, 0, 0))

@@ -160,3 +160,38 @@ def test_auto_shape_increase():
     inc2 = auto_shape_increase(nc, (40, 150, 150))
     out2 = [a + b for a, b in zip(nc["output_shape"], inc2)]
     assert all(o <= v for o, v in zip(out2, (40, 150, 150)))
+
+
+def test_setup_id_without_input_datasets_rejected(tmp_path):
+    """--setup-id selecting a non-first chain link that lacks
+    input_datasets must error: earlier links were skipped, so the model
+    would silently run on raw instead of its real inputs."""
+    import numpy as np
+    import pytest
+
+    from bootstrapper_tpu.core.arrays import prepare_ds
+    from bootstrapper_tpu.utils import tomlio
+    from bootstrapper_tpu.workflows.predict import run_prediction
+
+    container = str(tmp_path / "v.zarr")
+    raw = prepare_ds(
+        f"{container}/raw", (8, 16, 16), (0, 0, 0), (1, 1, 1), np.uint8
+    )
+    raw[raw.roi] = 0
+    cfg = {
+        "predict": {
+            "v": {
+                "raw_dataset": f"{container}/raw",
+                "output_container": container,
+                "chain": [
+                    {"setup_dir": str(tmp_path / "2d_mtlsd")},
+                    # hand-written config: no input_datasets on link 2
+                    {"setup_dir": str(tmp_path / "3d_affs_from_2d_mtlsd")},
+                ],
+            }
+        }
+    }
+    path = str(tmp_path / "predict.toml")
+    tomlio.dump(cfg, path)
+    with pytest.raises(ValueError, match="input_datasets"):
+        run_prediction(path, setup_id="3d_affs_from_2d_mtlsd")

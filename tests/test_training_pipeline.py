@@ -173,3 +173,15 @@ def test_fold_ids_u32_big_ids():
     assert out.dtype == np.uint32
     assert out[0] == 0
     assert len(np.unique(out)) == 4
+
+
+def test_fold_ids_u32_equal_halves_stay_foreground():
+    """An id with equal 32-bit halves xor-folds to 0; it must not merge
+    into background."""
+    from bootstrapper_tpu.train.sampler import fold_ids_u32
+
+    tricky = (42 << 32) | 42  # high == low -> xor == 0
+    labels = np.array([0, tricky, 2**33], np.uint64)
+    out = fold_ids_u32(labels)
+    assert out[0] == 0
+    assert out[1] != 0
