@@ -255,10 +255,18 @@ def defect_augment(
     prob_artifact=0.0,
     contrast_scale=0.1,
     artifact=None,
+    artifact_mask=None,
     missing_fill=0.0,
 ):
     """Per-z-section defects: zero/fill-out, low contrast, artifact blend
-    (DefectAugment capability, ``gp/defect_augment.py:204-296``)."""
+    (DefectAugment capability, ``gp/defect_augment.py:204-296``).
+
+    ``artifact`` is intensity data shaped like ``raw`` (a crop from a
+    real-artifact volume); ``artifact_mask`` is its alpha mask — when
+    given, affected sections blend per voxel
+    ``raw * (1 - alpha) + artifact * alpha`` exactly like the
+    reference's ``artifacts_mask`` path (``gp/defect_augment.py:44-53``).
+    Without a mask, a random scalar alpha per section is used."""
     Z = raw.shape[0]
     kd, kc, ka, kb = jax.random.split(key, 4)
     u = jax.random.uniform(kd, (Z,))
@@ -275,7 +283,10 @@ def defect_augment(
         low_c[:, None, None], mean + (raw - mean) * contrast_scale, out
     )
     if artifact is not None and prob_artifact > 0:
-        alpha = jax.random.uniform(kb, (Z, 1, 1), minval=0.3, maxval=0.9)
+        if artifact_mask is not None:
+            alpha = artifact_mask.astype(raw.dtype)
+        else:
+            alpha = jax.random.uniform(kb, (Z, 1, 1), minval=0.3, maxval=0.9)
         out = jnp.where(
             art[:, None, None], out * (1 - alpha) + artifact * alpha, out
         )
@@ -292,16 +303,36 @@ def create_mask(labels, dtype=jnp.uint8):
     return (jnp.asarray(labels) > 0).astype(dtype)
 
 
-def random_grow_boundary(key, labels, max_steps=3, only_xy=True,
-                         max_labels=64):
+def _mix_u32(x):
+    """Cheap elementwise integer hash (finalizer-style avalanche): maps
+    uint32 ids to well-scrambled uint32s on the VPU."""
+    x = x.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
+def random_grow_boundary(key, labels, max_steps=3, only_xy=True):
     """Boundary growth with a random per-label number of erosion steps
-    (CustomGrowBoundary capability): label l erodes for steps[l] rounds."""
-    steps = jax.random.randint(key, (max_labels,), 0, max_steps + 1)
+    (CustomGrowBoundary capability; reference
+    ``gp/custom_grow_boundary.py:60-75`` draws per-label steps
+    unboundedly).
+
+    Instead of a gather through a fixed-size step table (which clipped
+    ids >= its size to one shared entry, silently correlating erosion
+    across labels in dense crops), each label's step count is an
+    elementwise hash of (label id, per-call seed) — independent uniform
+    draws for any number of labels, with no table and no clip."""
+    seed = jax.random.randint(
+        key, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+    ).astype(jnp.uint32)
+    steps = _mix_u32(labels.astype(jnp.uint32) ^ seed) % jnp.uint32(
+        max_steps + 1
+    )
     out = labels
     for i in range(max_steps):
         eroded = grow_boundary(out, steps=1, only_xy=only_xy)
-        active = steps[jnp.clip(labels, 0, max_labels - 1)] > i
-        out = jnp.where(active & (labels > 0), eroded, out)
+        out = jnp.where((steps > i) & (labels > 0), eroded, out)
     return out
 
 

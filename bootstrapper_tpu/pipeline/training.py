@@ -135,11 +135,17 @@ def device_normalize_raw(raw):
     return raw.astype(jnp.float32)
 
 
-def make_device_transform(spec: SetupSpec):
-    """(key, raw, labels, mask) unbatched -> (input, targets, weights).
+def make_device_transform(spec: SetupSpec, prob_artifact: float = 0.0):
+    """(key, raw, labels, mask[, artifact, artifact_mask]) unbatched ->
+    (input, targets, weights).
 
     raw: input_tile uint8/uint16/float; labels: input-sized ids (any
-    int dtype, renumbered on device); mask: uint8.
+    int dtype, renumbered on device); mask: uint8.  When
+    ``prob_artifact > 0`` the transform takes two extra arrays — an
+    artifact intensity crop and its alpha mask (host-sampled from a
+    real-artifact volume, ``ArtifactSampler``) — blended into affected
+    sections by ``defect_augment`` (reference DefectAugment
+    ``artifact_source``, ``gp/defect_augment.py:44-53``).
     """
     vs = spec.voxel_size
     out_tile = spec.output_tile
@@ -152,7 +158,7 @@ def make_device_transform(spec: SetupSpec):
             slices.append(slice(o, o + t))
         return x[tuple(slices)]
 
-    def transform(key, raw, labels, mask):
+    def transform(key, raw, labels, mask, artifact=None, artifact_mask=None):
         keys = jax.random.split(key, 12)
         raw = device_normalize_raw(raw)
         labels = device_renumber(labels)
@@ -189,6 +195,9 @@ def make_device_transform(spec: SetupSpec):
             keys[10], raw,
             prob_missing=0.05 if spec.input_tile[0] > 1 else 0.0,
             prob_low_contrast=0.1,
+            prob_artifact=prob_artifact if artifact is not None else 0.0,
+            artifact=artifact,
+            artifact_mask=artifact_mask,
         )
         raw = jnp.clip(raw, 0.0, 1.0)  # fp guard before [-1,1] scaling
 
@@ -245,9 +254,22 @@ def make_device_transform(spec: SetupSpec):
     return transform
 
 
-def make_batch_transform(spec: SetupSpec):
+def make_batch_transform(spec: SetupSpec, prob_artifact: float = 0.0,
+                         with_artifact: bool = False):
     """Batched + jitted device transform: (key, batch_np) -> train batch."""
-    single = make_device_transform(spec)
+    single = make_device_transform(spec, prob_artifact=prob_artifact)
+
+    if with_artifact:
+
+        @jax.jit
+        def batched(key, raw, labels, mask, artifact, artifact_mask):
+            keys = jax.random.split(key, raw.shape[0])
+            net_in, targets, weights = jax.vmap(single)(
+                keys, raw, labels, mask, artifact, artifact_mask
+            )
+            return {"input": net_in, "targets": targets, "weights": weights}
+
+        return batched
 
     @jax.jit
     def batched(key, raw, labels, mask):
@@ -271,6 +293,8 @@ class TrainingPipeline:
         seed: Optional[int] = 0,
         prefetch: int = 6,
         num_threads: int = 4,
+        artifact_samples: Optional[Sequence] = None,
+        prob_artifact: float = 0.05,
     ):
         self.spec = SetupSpec(net_config, tuple(voxel_size))
         self.batch_size = batch_size or self.spec.batch_size
@@ -284,20 +308,40 @@ class TrainingPipeline:
             seed=seed,
             max_labels=MAX_LABELS,
         )
+        self.artifact_sampler = None
+        if artifact_samples:
+            from ..train.sampler import ArtifactSampler
+
+            # crop_size is in world units (the artifact volume may have
+            # its own voxel size; the read yields input_tile voxels)
+            self.artifact_sampler = ArtifactSampler(
+                artifact_samples, in_size, seed=seed,
+            )
         self.loader = BatchLoader(
             self._draw, self.batch_size, prefetch, num_threads
         )
-        self.transform = make_batch_transform(self.spec)
+        self.transform = make_batch_transform(
+            self.spec, prob_artifact=prob_artifact,
+            with_artifact=self.artifact_sampler is not None,
+        )
         self.key = jax.random.PRNGKey(seed or 0)
 
     def _draw(self):
         d = self.sampler.sample()
         # raw was read with zero context (input==output); keep as is
-        return {"raw": d["raw"], "labels": d["labels"], "mask": d["mask"]}
+        out = {"raw": d["raw"], "labels": d["labels"], "mask": d["mask"]}
+        if self.artifact_sampler is not None:
+            out.update(self.artifact_sampler.sample())
+        return out
 
     def next_batch(self):
         batch = next(self.loader)
         self.key, sub = jax.random.split(self.key)
+        if self.artifact_sampler is not None:
+            return self.transform(
+                sub, batch["raw"], batch["labels"], batch["mask"],
+                batch["artifact"], batch["artifact_mask"],
+            )
         return self.transform(
             sub, batch["raw"], batch["labels"], batch["mask"]
         )

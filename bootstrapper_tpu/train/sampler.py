@@ -127,6 +127,60 @@ class RandomLocationSampler:
         )
 
 
+class ArtifactSampler:
+    """Random input-tile crops from artifact volumes (+ alpha masks) for
+    defect blending — the host side of the reference's
+    ``artifact_source`` provider (``gp/defect_augment.py:44-53``): a
+    second source queried for ``artifacts`` intensities and an
+    ``artifacts_mask`` alpha, here a Zarr pair per sample."""
+
+    def __init__(
+        self,
+        samples: Sequence,  # (artifact Array, alpha-mask Array | None) pairs
+        crop_size: Coordinate,
+        seed: Optional[int] = None,
+    ):
+        assert samples, "need at least one artifact sample"
+        self.samples = [
+            s if isinstance(s, tuple) else (s, None) for s in samples
+        ]
+        self.crop_size = Coordinate(crop_size)
+        self.rng = np.random.default_rng(seed)
+        self._rng_lock = threading.Lock()
+
+    @classmethod
+    def open(cls, specs: Sequence[dict], crop_size, seed=None):
+        """specs: [{"artifacts": path, "artifacts_mask": path?}, ...]"""
+        pairs = [
+            (
+                open_ds(s["artifacts"]),
+                open_ds(s["artifacts_mask"]) if s.get("artifacts_mask")
+                else None,
+            )
+            for s in specs
+        ]
+        return cls(pairs, crop_size, seed=seed)
+
+    def sample(self) -> dict:
+        with self._rng_lock:
+            art, msk = self.samples[
+                int(self.rng.integers(0, len(self.samples)))
+            ]
+            vs = art.voxel_size
+            room = art.roi.shape - self.crop_size
+            begin = Coordinate(
+                0 if r <= 0 else int(self.rng.integers(0, r // v + 1)) * v
+                for r, v in zip(room, vs)
+            )
+        roi = Roi(art.roi.offset + begin, self.crop_size)
+        raw = normalize_raw(art.to_ndarray(roi))
+        if msk is not None:
+            mask = (msk.to_ndarray(roi) > 0).astype(np.float32)
+        else:
+            mask = (raw > 0).astype(np.float32)
+        return {"artifact": raw, "artifact_mask": mask}
+
+
 def fold_ids_u32(labels: np.ndarray) -> np.ndarray:
     """Label ids as uint32 for device transfer; ids beyond 2^32 (e.g.
     block-bumped pseudo-GT fragments) are xor-folded — 0 stays 0 and

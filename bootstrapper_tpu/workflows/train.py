@@ -83,12 +83,29 @@ def run_training(config_file: str, **overrides) -> dict:
             Sample.open(s["raw"], s["labels"], s.get("mask"))
             for s in cfg["samples"]
         ]
+        artifact_samples = None
+        if cfg.get("artifact_samples"):
+            # real-artifact blending (reference DefectAugment
+            # artifact_source, gp/defect_augment.py:44-53): each entry
+            # names an intensities dataset + optional alpha mask
+            from ..core.arrays import open_ds
+
+            artifact_samples = [
+                (
+                    open_ds(a["artifacts"]),
+                    open_ds(a["artifacts_mask"])
+                    if a.get("artifacts_mask") else None,
+                )
+                for a in cfg["artifact_samples"]
+            ]
         pipeline = TrainingPipeline(
             model.net_config,
             voxel_size,
             samples,
             batch_size=batch_size,
             min_masked=cfg.get("min_masked", 0.05),
+            artifact_samples=artifact_samples,
+            prob_artifact=cfg.get("prob_artifact", 0.05),
         )
         lr = spec.learning_rate
 

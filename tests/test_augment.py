@@ -147,12 +147,54 @@ def test_random_grow_boundary_bounded():
     seg = jnp.zeros((1, 20), jnp.int32).at[0, :10].set(1).at[0, 10:].set(2)
     out = np.asarray(
         random_grow_boundary(jax.random.PRNGKey(0), seg, max_steps=2,
-                             only_xy=False, max_labels=4)
+                             only_xy=False)
     )
     # boundary can grow 0..2 voxels per label; labels never change identity
     assert set(np.unique(out)).issubset({0, 1, 2})
     zeros = (out == 0).sum()
     assert 0 <= zeros <= 4
+
+
+def test_random_grow_boundary_distinct_steps_beyond_64_labels():
+    """Per-label erosion steps are independent for any id (the old
+    fixed-size step table made every id >= its size share one entry —
+    reference draws per-label steps unboundedly,
+    ``gp/custom_grow_boundary.py:60-75``)."""
+    # 64 stripes of width 8, labelled 64..127 (all past the old clip)
+    n, w = 64, 8
+    ids = np.arange(64, 64 + n, dtype=np.int32)
+    seg = jnp.asarray(np.repeat(ids, w)[None, :])  # (1, n*w)
+    out = np.asarray(
+        random_grow_boundary(jax.random.PRNGKey(3), seg, max_steps=3,
+                             only_xy=False)
+    )
+    # per-label surviving voxels -> implied erosion steps
+    survivors = [(out == i).sum() for i in ids]
+    # old behaviour: identical steps for every label -> all equal
+    assert len(set(survivors[1:-1])) > 1
+    # determinism: same key -> same result
+    out2 = np.asarray(
+        random_grow_boundary(jax.random.PRNGKey(3), seg, max_steps=3,
+                             only_xy=False)
+    )
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_defect_augment_artifact_alpha_mask_blend():
+    """Artifact sections blend per voxel with the artifact's own alpha
+    mask (reference artifacts/artifacts_mask path)."""
+    raw = jnp.zeros((4, 8, 8), jnp.float32)
+    artifact = jnp.ones((4, 8, 8), jnp.float32)
+    mask = jnp.zeros((4, 8, 8), jnp.float32).at[:, :4].set(1.0)
+    out = np.asarray(
+        defect_augment(
+            jax.random.PRNGKey(0), raw,
+            prob_missing=0.0, prob_low_contrast=0.0, prob_artifact=1.0,
+            artifact=artifact, artifact_mask=mask,
+        )
+    )
+    np.testing.assert_allclose(out[:, :4], 1.0)
+    np.testing.assert_allclose(out[:, 4:], 0.0)
 
 
 def test_expand_labels_fills_background():

@@ -69,6 +69,35 @@ def _small_3d_net():
     return nc
 
 
+def test_pipeline_with_artifact_source(tmp_path):
+    """Artifact blending active when configured (reference DefectAugment
+    artifact_source): with prob_artifact=1 and a constant-1 artifact
+    volume with full alpha, most input sections become exactly 1.0."""
+    nc = _small_3d_net()
+    vs = (40, 4, 4)
+    shape = (16, 64, 64)
+    art = prepare_ds(
+        str(tmp_path / "a.zarr/artifacts"), shape, (0, 0, 0), vs, np.float32
+    )
+    art[art.roi] = np.ones(shape, np.float32)
+    msk = prepare_ds(
+        str(tmp_path / "a.zarr/mask"), shape, (0, 0, 0), vs, np.uint8
+    )
+    msk[msk.roi] = np.ones(shape, np.uint8)
+    pipe = TrainingPipeline(
+        nc, vs, [_make_sample(tmp_path)], batch_size=1, min_masked=0.0,
+        artifact_samples=[(art, msk)], prob_artifact=1.0,
+    )
+    try:
+        batch = pipe.next_batch()
+    finally:
+        pipe.stop()
+    x = np.asarray(batch["input"])[0, ..., 0]  # (12, 48, 48) in [-1, 1]
+    # blended sections are exactly artifact==1.0 -> scaled to +1.0
+    ones = [np.allclose(x[z], 1.0) for z in range(x.shape[0])]
+    assert sum(ones) >= x.shape[0] // 2
+
+
 def test_2d_pipeline_batch_shapes(tmp_path):
     nc = _small_2d_net()
     model = Model(nc)
