@@ -34,6 +34,40 @@ from .voi import rand_voi
 logger = logging.getLogger(__name__)
 
 
+def batch_point_lookup(array: Array, nodes, positions) -> dict:
+    """{node: int(array[pos])} with one TensorStore read per touched
+    storage chunk instead of one round-trip per point.
+
+    ``positions`` are world-unit Coordinates (or None for out-of-ROI
+    nodes, which map to 0).  Points are grouped by chunk index; each
+    group is served by a single chunk-aligned read and vectorised
+    fancy-indexing."""
+    vs = np.array(array.voxel_size, np.int64)
+    origin = np.array(array.offset, np.int64)
+    chunk = np.array(array.chunk_shape[-len(vs):], np.int64)
+    shape = np.array(array.shape[-len(vs):], np.int64)
+
+    out = {n: 0 for n in nodes}
+    vox_by_chunk: dict = {}
+    for n, p in zip(nodes, positions):
+        if p is None:
+            continue
+        v = (np.asarray(p, np.int64) - origin) // vs
+        key = tuple(v // chunk)
+        vox_by_chunk.setdefault(key, []).append((n, v))
+    for key, group in vox_by_chunk.items():
+        lo = np.array(key, np.int64) * chunk
+        hi = np.minimum(lo + chunk, shape)
+        block = array.store[
+            tuple(slice(int(a), int(b)) for a, b in zip(lo, hi))
+        ].read().result()
+        vox = np.stack([v for _, v in group]) - lo
+        vals = block[tuple(vox.T)]
+        for (n, _), val in zip(group, vals):
+            out[n] = int(val)
+    return out
+
+
 def evaluate_thresholds(
     fragments: Array,
     rag: RagDB,
@@ -49,17 +83,24 @@ def evaluate_thresholds(
     du = np.array([dense[int(u)] for u in eu], np.uint64)
     dv = np.array([dense[int(v)] for v in ev], np.uint64)
 
-    # one-time site -> fragment lookups
+    # one-time site -> fragment lookups, batched by storage chunk: real
+    # skeletons have thousands of nodes, and a TensorStore round-trip
+    # per node dominates the sweep (reference reads whole blocks too,
+    # evaluate_thresholds.py site lookup)
     skels = None
     node_frag = None
     if gt_skeletons is not None:
         skels = load_skeletons(gt_skeletons, roi=fragments.roi)
-        node_frag = {}
+        nodes, positions = [], []
         for node, data in skels.nodes(data=True):
             p = Coordinate(*(int(x) for x in data["position"]))
-            node_frag[node] = (
-                int(fragments[p]) if fragments.roi.contains(p) else 0
-            )
+            if fragments.roi.contains(p):
+                nodes.append(node)
+                positions.append(p)
+            else:
+                nodes.append(node)
+                positions.append(None)
+        node_frag = batch_point_lookup(fragments, nodes, positions)
 
     frags_vox = None
     gt_vox = None

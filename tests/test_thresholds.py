@@ -111,3 +111,52 @@ def test_threaded_sweep_matches_serial(setup):
         gt_labels=setup["gt"], gt_skeletons=setup["skels"], num_workers=3,
     )
     assert serial == threaded
+
+
+def test_sweep_10k_sites_batched_lookup(tmp_path):
+    """Site lookups are one TensorStore read per touched chunk: a
+    10k-node skeleton sweep completes in seconds, not minutes."""
+    import time
+
+    import networkx as nx
+
+    shape = (64, 256, 256)
+    frags = np.random.default_rng(0).integers(
+        1, 5, shape, dtype=np.uint64
+    )
+    fd = prepare_ds(
+        str(tmp_path / "big.zarr/frags"), shape, (0, 0, 0), (1, 1, 1),
+        np.uint64, chunk_shape=(32, 64, 64),
+    )
+    fd[fd.roi] = frags
+
+    rag = RagDB(str(tmp_path / "rag_big.db"), mode="w")
+    rag.write_nodes([1, 2, 3, 4], np.zeros((4, 3)))
+    rag.write_edges([1, 3], [2, 4], [0.1, 0.2])
+
+    rng = np.random.default_rng(1)
+    g = nx.Graph()
+    n_skel, per = 500, 20  # 10k nodes
+    for s in range(n_skel):
+        base = rng.integers(0, np.array(shape) - per)
+        prev = None
+        for i in range(per):
+            nid = f"s{s}_{i}"
+            g.add_node(
+                nid,
+                position_z=float(base[0]),
+                position_y=float(base[1]),
+                position_x=float(base[2] + i),
+                skeleton_id=f"s{s}",
+            )
+            if prev:
+                g.add_edge(prev, nid)
+            prev = nid
+    skel_path = str(tmp_path / "big_skels.graphml")
+    nx.write_graphml(g, skel_path)
+
+    t0 = time.perf_counter()
+    out = evaluate_thresholds(fd, rag, [0.15], gt_skeletons=skel_path)
+    dt = time.perf_counter() - t0
+    assert "skeletons" in out["thresholds"][0.15]
+    assert dt < 10, f"sweep took {dt:.1f}s"
