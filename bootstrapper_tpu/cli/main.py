@@ -333,8 +333,11 @@ def train(config_file, max_iterations, batch_size, save_checkpoints_every,
 @click.argument("config_file", type=click.Path(exists=True))
 @click.option("--volume", "-v", default=None)
 @click.option("--batch-tiles", "-b", type=int, default=1)
-@click.option("--sharded", "-s", is_flag=True,
-              help="shard the tile batch over all devices")
+@click.option("--sharded", "-s", is_flag=False, flag_value="batch",
+              default=None, type=click.Choice(["batch", "spatial"]),
+              help="shard over all devices: 'batch' replicates the model "
+              "over a batch of tiles; 'spatial' splits one tile's extent "
+              "across the mesh (halo exchange; pools HBM for big tiles)")
 @click.option("--auto-tile", is_flag=True,
               help="maximise the inference tile for throughput")
 @click.option("--roi-offset", nargs=3, type=int, default=None)

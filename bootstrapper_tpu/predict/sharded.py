@@ -105,6 +105,15 @@ class ShardedPredictor:
             out_shardings=NamedSharding(self.mesh, P("space")),
         )
 
+    @property
+    def input_tile(self):
+        """Alias matching Predictor's naming (used by output chunking)."""
+        return self.in_tile
+
+    @property
+    def output_tile(self):
+        return self.out_tile
+
     def predict(
         self,
         raw,

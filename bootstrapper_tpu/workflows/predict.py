@@ -44,7 +44,7 @@ def run_prediction(
     config_file: str,
     volume: Optional[str] = None,
     batch_tiles: int = 1,
-    sharded: bool = False,
+    sharded=None,  # falsy | "batch" | "spatial"
     auto_tile: bool = False,
     roi_offset=None,
     roi_shape=None,
@@ -100,7 +100,33 @@ def run_prediction(
                     model.net_config, raw.spatial_shape
                 )
                 logger.info("auto tile: shape_increase=%s", shape_increase)
-            if sharded:
+            if sharded == "spatial":
+                import jax
+
+                from ..predict.spatial import (
+                    SpatialShardedPredictor,
+                    spatial_shape_increase,
+                )
+
+                if shape_increase is None and model.dims == 3:
+                    shape_increase = spatial_shape_increase(
+                        model.net_config, len(jax.devices()),
+                        raw.spatial_shape,
+                    )
+                    logger.info(
+                        "spatial tile: shape_increase=%s", shape_increase
+                    )
+                predictor = SpatialShardedPredictor(
+                    model, params, raw.voxel_size,
+                    shape_increase=shape_increase,
+                )
+                logger.info(
+                    "spatially-sharded inference over %d devices "
+                    "(axis %d, halo %s)",
+                    len(jax.devices()), predictor.shard_axis,
+                    predictor.halo,
+                )
+            elif sharded:
                 import jax
 
                 from ..predict.sharded import ShardedPredictor
