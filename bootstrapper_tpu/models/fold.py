@@ -157,6 +157,23 @@ def folded_phase_max(xf):
     return xf.reshape(n, d, hf, wf, 4, c).max(axis=-2)
 
 
+def folded_pool_122(xf):
+    """(1,2,2) max-pool that KEEPS the folded layout: the half-res
+    result is itself returned 2x2-folded (N, D, Hf/2, Wf/2, 4C).
+
+    ``fold(phase_max(xf))`` as one fused reshuffle+reduce, so deeper
+    levels can stay folded without a full-resolution unfold write (the
+    0.5-HBM-util data-formatting cost diagnosed in BASELINE.md).
+    Requires even folded extents (i.e. original H, W divisible by 4)."""
+    n, d, hf, wf, c4 = xf.shape
+    c = c4 // 4
+    g = xf.reshape(n, d, hf, wf, 4, c).max(axis=-2)  # phase max
+    v = g.reshape(n, d, hf // 2, 2, wf // 2, 2, c)
+    return v.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+        n, d, hf // 2, wf // 2, 4 * c
+    )
+
+
 def folded_upsample_linear(g):
     """(1,2,2) linear upsample of an UNFOLDED half-res array, produced
     directly in folded layout (N, D, h, w, 4C) — the full-resolution

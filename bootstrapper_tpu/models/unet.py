@@ -396,6 +396,41 @@ def _fold_eligible(cfg: UNetConfig, x) -> bool:
     return x.shape[2] % 2 == 0 and x.shape[3] % 2 == 0
 
 
+def _fold_depth(cfg: UNetConfig, x) -> int:
+    """How many leading levels run folded: the contiguous run of (1,2,2)
+    levels with foldable kernels, even xy extents at each level, and
+    lane-starved channel counts.
+
+    A folded conv trades 16/9 more MACs for 4x wider channels, so it
+    wins only where plain convs can't fill the MXU — level channel
+    counts up to ``$BS_FOLD_MAX_CH`` (default 128; the flagship nets'
+    12- and 60-channel levels fold, the 300-channel level does not)."""
+    import os
+
+    if not _fold_eligible(cfg, x):
+        return 0
+    from .fold import can_fold_kernel
+
+    max_ch = int(os.environ.get("BS_FOLD_MAX_CH", 128))
+    nf, inc = cfg.num_fmaps, cfg.fmap_inc_factor
+    h, w = x.shape[2], x.shape[3]
+    m = 0
+    for i in range(cfg.num_levels - 1):
+        if tuple(cfg.downsample_factors[i]) != (1, 2, 2):
+            break
+        kernels = list(cfg.kernel_size_down[i]) + list(cfg.kernel_size_up[i])
+        if not all(can_fold_kernel(k) for k in kernels):
+            break
+        if h % 2 or w % 2:
+            break
+        if nf * inc**i > max_ch:
+            break
+        h = (h - sum(k[1] - 1 for k in cfg.kernel_size_down[i])) // 2
+        w = (w - sum(k[2] - 1 for k in cfg.kernel_size_down[i])) // 2
+        m += 1
+    return m
+
+
 def _try_lazy_decode(
     params, f_left, g, i, h, cfg, crop_factors, compute_dtype,
     f_left_folded, return_folded,
@@ -416,10 +451,32 @@ def _try_lazy_decode(
         return None
     if tuple(cfg.downsample_factors[i]) != (1, 2, 2):
         return None
+    import os
+
     from . import fold as F
 
+    up_bytes = 2 * g.shape[-1] * g.shape[1] * (g.shape[2] * g.shape[3] * 4)
+    threshold = float(os.environ.get("BS_LAZY_UP_BYTES", 3e9))
     if f_left_folded:
-        return F.folded_decode_level(
+        # level 0 always takes the materialised folded blend (one wide
+        # conv beats four per-phase ones at its narrow channel counts);
+        # deeper folded levels only while the blend temporaries are
+        # small — past the threshold the upsample-fused lazy form keeps
+        # big tiles inside HBM
+        if i == 0 or up_bytes < threshold:
+            out = F.folded_decode_level(
+                params["r_conv"][h][i],
+                f_left,
+                g,
+                cfg.kernel_size_up[i],
+                crop_factors[i],
+                cfg.activation,
+                compute_dtype,
+                return_folded=return_folded,
+            )
+            if out is not None:
+                return out
+        return F.lazy_decode_level(
             params["r_conv"][h][i],
             f_left,
             g,
@@ -427,12 +484,9 @@ def _try_lazy_decode(
             crop_factors[i],
             cfg.activation,
             compute_dtype,
+            f_left_folded=True,
             return_folded=return_folded,
         )
-    import os
-
-    up_bytes = 2 * g.shape[-1] * g.shape[1] * (g.shape[2] * g.shape[3] * 4)
-    threshold = float(os.environ.get("BS_LAZY_UP_BYTES", 3e9))
     if up_bytes < threshold:
         return None
     return F.lazy_decode_level(
@@ -476,6 +530,40 @@ def unet_apply(
     crop_factors = cfg.crop_factors
     dims = cfg.dims
 
+    def decode_plain(f_left, g, i, h):
+        """One plain decoder level: upsample + crop + skip concat +
+        conv pass."""
+        if cfg.constant_upsample:
+            g_up = upsample_resize(g, cfg.downsample_factors[i])
+        else:
+            up = params["r_up"][h][i]
+            g_up = upsample_transposed(
+                g,
+                up["w"],
+                up["b"],
+                cfg.downsample_factors[i],
+                compute_dtype,
+            )
+        if cfg.padding == "valid":
+            g_up = crop_to_factor(
+                g_up, crop_factors[i], cfg.kernel_size_up[i]
+            )
+        f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
+        if cfg.fold_xy:
+            # implicit concat (see _conv_split); its gradient graph
+            # trips an XLA:TPU space-to-batch compiler bug, so the
+            # unfolded (training) configuration concatenates plainly
+            x_in = [f_crop, g_up]
+        else:
+            x_in = jnp.concatenate([f_crop, g_up], axis=-1)
+        return conv_pass_apply(
+            params["r_conv"][h][i],
+            x_in,
+            cfg.kernel_size_up[i],
+            cfg.activation,
+            compute_dtype,
+        )
+
     def rec(level, f_in):
         i = cfg.num_levels - level - 1
         f_left = conv_pass_apply(
@@ -495,89 +583,53 @@ def unet_apply(
                 params, f_left, gs_out[h], i, h, cfg, crop_factors,
                 compute_dtype, f_left_folded=False, return_folded=False,
             )
-            if lazy is not None:
-                fs_out.append(lazy)
-                continue
-            if cfg.constant_upsample:
-                g_up = upsample_resize(gs_out[h], cfg.downsample_factors[i])
-            else:
-                up = params["r_up"][h][i]
-                g_up = upsample_transposed(
-                    gs_out[h],
-                    up["w"],
-                    up["b"],
-                    cfg.downsample_factors[i],
-                    compute_dtype,
-                )
-            if cfg.padding == "valid":
-                g_up = crop_to_factor(
-                    g_up, crop_factors[i], cfg.kernel_size_up[i]
-                )
-            f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
-            if cfg.fold_xy:
-                # implicit concat (see _conv_split); its gradient graph
-                # trips an XLA:TPU space-to-batch compiler bug, so the
-                # unfolded (training) configuration concatenates plainly
-                x_in = [f_crop, g_up]
-            else:
-                x_in = jnp.concatenate([f_crop, g_up], axis=-1)
             fs_out.append(
-                conv_pass_apply(
-                    params["r_conv"][h][i],
-                    x_in,
-                    cfg.kernel_size_up[i],
-                    cfg.activation,
-                    compute_dtype,
-                )
+                lazy if lazy is not None
+                else decode_plain(f_left, gs_out[h], i, h)
             )
         return fs_out
 
-    if not _fold_eligible(cfg, x):
+    m = _fold_depth(cfg, x)
+    if m == 0:
         return rec(cfg.num_levels - 1, x.astype(compute_dtype))
 
-    # -- folded level 0: space-to-depth over 2x2 xy (exact rewrite) --------
+    # -- folded levels 0..m-1: space-to-depth over 2x2 xy (exact rewrite).
+    # The whole leading run of lane-starved (1,2,2) levels stays in the
+    # folded layout: encoder convs are 4x wider, pools are phase maxes,
+    # and skips never round-trip through a full-resolution unfold (the
+    # data-formatting cost diagnosed in BASELINE.md).
     from . import fold as F
 
     xf = F.fold(x.astype(compute_dtype))
-    f_left_f = F.folded_conv_pass(
-        params["l_conv"][0], xf, cfg.kernel_size_down[0], cfg.activation,
-        compute_dtype,
-    )
-    g_in = F.folded_phase_max(f_left_f)
-    gs_out = rec(cfg.num_levels - 2, g_in)
-    fs_out = []
-    for h in range(cfg.num_heads):
-        lazy = _try_lazy_decode(
-            params, f_left_f, gs_out[h], 0, h, cfg, crop_factors,
-            compute_dtype, f_left_folded=True, return_folded=return_folded,
+    skips_f = []
+    for i in range(m):
+        f_left_f = F.folded_conv_pass(
+            params["l_conv"][i], xf, cfg.kernel_size_down[i],
+            cfg.activation, compute_dtype,
         )
-        if lazy is not None:
-            fs_out.append(lazy)
-            continue
-        # fallback: materialised upsample, unfolded conv pass
-        f_left = F.unfold(f_left_f)
-        if cfg.constant_upsample:
-            g_up = upsample_resize(gs_out[h], cfg.downsample_factors[0])
+        skips_f.append(f_left_f)
+        if i + 1 < m:
+            xf = F.folded_pool_122(f_left_f)  # stays folded
         else:
-            up = params["r_up"][h][0]
-            g_up = upsample_transposed(
-                gs_out[h], up["w"], up["b"], cfg.downsample_factors[0],
-                compute_dtype,
+            g_in = F.folded_phase_max(f_left_f)  # unfolded for plain levels
+
+    gs_out = rec(cfg.num_levels - 1 - m, g_in)
+
+    for i in range(m - 1, -1, -1):
+        rf = return_folded if i == 0 else False
+        fs_out = []
+        for h in range(cfg.num_heads):
+            out = _try_lazy_decode(
+                params, skips_f[i], gs_out[h], i, h, cfg, crop_factors,
+                compute_dtype, f_left_folded=True, return_folded=rf,
             )
-        if cfg.padding == "valid":
-            g_up = crop_to_factor(
-                g_up, crop_factors[0], cfg.kernel_size_up[0]
-            )
-        f_crop = _center_crop(f_left, g_up.shape[1 : 1 + dims])
-        fs_out.append(
-            conv_pass_apply(
-                params["r_conv"][h][0],
-                [f_crop, g_up] if cfg.fold_xy
-                else jnp.concatenate([f_crop, g_up], axis=-1),
-                cfg.kernel_size_up[0], cfg.activation, compute_dtype,
-            )
-        )
-    return fs_out
+            if out is None:
+                # geometry fell outside the folded forms: unfold the
+                # skip and run the plain level
+                out = decode_plain(F.unfold(skips_f[i]), gs_out[h], i, h)
+            fs_out.append(out)
+        gs_out = fs_out
+    return gs_out
 
 
 # ---------------------------------------------------------------------------

@@ -270,3 +270,54 @@ def test_2d_model_fold_exact():
     for k in y_fold:
         np.testing.assert_allclose(np.asarray(y_fold[k]),
                                    np.asarray(y_base[k]), rtol=0, atol=2e-5)
+
+
+def test_fold_depth_multi_level():
+    """The fold extends through the leading run of lane-starved (1,2,2)
+    levels; wide levels and non-(1,2,2) factors stop it."""
+    from bootstrapper_tpu.models.unet import _fold_depth
+
+    x = jnp.zeros((1, 20, 52, 56, 1))
+    cfg = small_cfg()
+    # 3-channel base: both (1,2,2) levels fold
+    assert _fold_depth(cfg, x) == 2
+    # flagship-like channel growth: folding stops past BS_FOLD_MAX_CH
+    import os
+
+    wide = small_cfg(num_fmaps=60, fmap_inc_factor=5)
+    assert _fold_depth(wide, x) == 1  # level 1 would be 300 channels
+    # z-downsampling level stops the fold run
+    zf = small_cfg(downsample_factors=[[1, 2, 2], [2, 2, 2]])
+    assert _fold_depth(zf, x) == 1
+    # fold disabled entirely
+    off = small_cfg(fold_xy=False)
+    assert _fold_depth(off, x) == 0
+
+
+def test_folded_pool_122_matches_plain_pool():
+    from bootstrapper_tpu.models.unet import max_pool
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 8, 12, 5))
+    ref = max_pool(x, (1, 2, 2))
+    got = F.unfold(F.folded_pool_122(F.fold(x)))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_unet_fold_exact_deep_vs_shallow_fold():
+    """m=2 folded levels produce the same outputs as m=1 (and as the
+    plain graph, covered above)."""
+    import os
+
+    cfg = small_cfg()
+    params = unet_init(jax.random.PRNGKey(7), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 20, 52, 56, 1),
+                          jnp.float32)
+    deep = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+    os.environ["BS_FOLD_MAX_CH"] = "3"  # only level 0 folds (3 fmaps)
+    try:
+        shallow = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+    finally:
+        del os.environ["BS_FOLD_MAX_CH"]
+    np.testing.assert_allclose(
+        np.asarray(deep[0]), np.asarray(shallow[0]), rtol=0, atol=2e-5
+    )
