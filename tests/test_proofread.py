@@ -62,3 +62,72 @@ def test_filter_small(session):
     removed = s.filter_small(5)
     assert removed == 1
     assert 999 not in s.labels
+
+
+class TestProofreadUI:
+    """Headless parity with the reference's neuroglancer session
+    (``ng_interactive_sam.py:133-214``): layer plan, key bindings, and
+    annotation parsing, without the package."""
+
+    def test_layer_specs(self):
+        from bootstrapper_tpu.proofread_ui import (
+            ANNOTATION_COLOR,
+            proofread_layer_specs,
+        )
+
+        specs = {s.name: s for s in proofread_layer_specs()}
+        assert specs["image"].kind == "image"
+        assert specs["labels"].kind == "segmentation"
+        ms = specs["merge_split"]
+        assert ms.kind == "annotation"
+        assert ms.linked_segmentation == "labels"
+        assert ms.color == ANNOTATION_COLOR
+
+    def test_keybindings(self):
+        from bootstrapper_tpu.proofread_ui import PROOFREAD_KEYBINDINGS
+
+        assert PROOFREAD_KEYBINDINGS == {
+            "s": "segment", "m": "merge_labels", "u": "unmerge_labels",
+            "f": "filter_labels", "o": "omit_labels", "w": "write_data",
+        }
+
+    def test_selected_ids_flattens_segment_lists(self):
+        from bootstrapper_tpu.proofread_ui import selected_ids
+
+        class A:
+            def __init__(self, segments):
+                self.segments = segments
+
+        annos = [A([[1, 2], [3]]), A(None), A([np.array([4, 2])])]
+        assert selected_ids(annos) == {1, 2, 3, 4}
+
+    def test_spatial_mask_from_bbox(self):
+        from bootstrapper_tpu.proofread_ui import spatial_mask
+
+        class Box:
+            def __init__(self, a, b):
+                self.point_a, self.point_b = a, b
+
+        # crop at world offset (0, 40, 40), voxel size (10, 4, 4)
+        m = spatial_mask(
+            [Box((0, 40, 40), (20, 48, 56))],
+            shape=(4, 8, 8), crop_offset=(0, 40, 40), voxel_size=(10, 4, 4),
+        )
+        assert m is not None
+        assert m[:2, :2, :4].all()
+        assert not m[2:].any() and not m[:, 2:].any()
+        # no boxes -> None (fall back to whole-crop behaviour)
+        assert spatial_mask([], (4, 8, 8), (0, 0, 0), (1, 1, 1)) is None
+
+    def test_patch_bounds_clamped(self):
+        from bootstrapper_tpu.proofread_ui import patch_bounds
+
+        spos, epos = patch_bounds((1, 100, 3900), (50, 4000, 4000),
+                                  patch_shape=(3, 512, 512))
+        assert list(spos) == [0, 0, 3644]  # clamped at the origin
+        assert list(epos) == [3, 512, 4000]  # clamped at the far edge
+
+    def test_start_position_center(self):
+        from bootstrapper_tpu.proofread_ui import start_position
+
+        assert start_position((10, 20, 31)) == [5, 10, 15]
