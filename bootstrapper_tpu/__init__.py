@@ -10,4 +10,17 @@ evaluate (VOI/ERL/error maps), filter to pseudo-ground-truth, repeat.
 __version__ = "0.1.0"
 
 from .core.geometry import Coordinate, Roi
-from .core.arrays import Array, open_ds, prepare_ds
+
+_LAZY = {"Array": "core.arrays", "open_ds": "core.arrays", "prepare_ds": "core.arrays"}
+
+
+def __getattr__(name):
+    # core.arrays drags in tensorstore (~3 s on a slow host); subprocess
+    # workers that never touch storage shouldn't pay for it at import.
+    if name in _LAZY:
+        import importlib
+
+        val = getattr(importlib.import_module(f".{_LAZY[name]}", __name__), name)
+        globals()[name] = val
+        return val
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -36,8 +36,10 @@ from .. import native
 from ..core.arrays import Array, open_ds, prepare_ds
 from ..core.blockwise import BlockwiseTask, Ledger, run_blockwise_or_raise
 from ..core.geometry import Coordinate, Roi
-from .fragments import mutex_watershed_from_affinities, watershed_from_affinities
 from .rag import RagDB
+
+# .fragments (scipy.ndimage, ~4 s on a slow host) is imported inside the
+# frags stage only — LUT/extract/agglomerate subprocess workers skip it.
 
 logger = logging.getLogger(__name__)
 
@@ -90,6 +92,11 @@ def extract_fragments_blockwise(
     voxels_per_block = int(np.prod(block_shape))
 
     def process(block):
+        from .fragments import (
+            mutex_watershed_from_affinities,
+            watershed_from_affinities,
+        )
+
         read = block.read_roi
         a = affs.to_ndarray(read).astype(np.float32)
         if a.max() > 1.5:
