@@ -64,6 +64,12 @@ def get_lib() -> ctypes.CDLL:
         ]
         lib.agglomerate.restype = i64
         lib.replace_values.argtypes = [u64p, u64, u64p, u64p, u64, u64p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.mutex_watershed_dense.argtypes = [
+            f32p, i64, i64, i64, i32p, u64, f64p, i32p, u8p,
+            ctypes.c_double, u64, u64p,
+        ]
+        lib.mutex_watershed_dense.restype = u64
         _lib = lib
         return _lib
 
@@ -157,6 +163,43 @@ def mutex_watershed_edges(n_nodes, edges_u, edges_v, weights):
         _p(out, ctypes.c_uint64),
     )
     return out
+
+
+def mutex_watershed_dense(
+    affs, neighborhood, bias, strides, randomized, noise_eps=0.0, seed=0
+):
+    """Mutex watershed straight from the affinity grid: native edge
+    generation, per-channel bias + counter-based gaussian noise, stable
+    radix sort by |weight|, clustering, and 1..K densification in one
+    C++ pass (10x the edge-list path on hosts where the numpy index
+    math dominates).  Returns (labels (Z,Y,X) uint64, n_fragments)."""
+    lib = get_lib()
+    affs = np.ascontiguousarray(affs, np.float32)
+    C, (Z, Y, X) = affs.shape[0], affs.shape[1:]
+    if C >= 128:
+        raise ValueError("mutex_watershed_dense supports < 128 channels")
+    if Z * Y * X >= 2**32:
+        raise ValueError("volume too large for 32-bit edge indices")
+    nb = np.ascontiguousarray(neighborhood, np.int32)
+    st = np.ascontiguousarray(strides, np.int32)
+    rd = np.ascontiguousarray(randomized, np.uint8)
+    bs = np.ascontiguousarray(bias, np.float64)
+    assert nb.shape == (C, 3) and st.shape == (C, 3)
+    assert rd.shape == (C,) and bs.shape == (C,)
+    out = np.empty(Z * Y * X, np.uint64)
+    k = lib.mutex_watershed_dense(
+        _p(affs, ctypes.c_float),
+        ctypes.c_int64(Z), ctypes.c_int64(Y), ctypes.c_int64(X),
+        _p(nb, ctypes.c_int32),
+        ctypes.c_uint64(C),
+        _p(bs, ctypes.c_double),
+        _p(st, ctypes.c_int32),
+        _p(rd, ctypes.c_uint8),
+        ctypes.c_double(float(noise_eps)),
+        ctypes.c_uint64(int(seed)),
+        _p(out, ctypes.c_uint64),
+    )
+    return out.reshape(Z, Y, X), int(k)
 
 
 def agglomerate(

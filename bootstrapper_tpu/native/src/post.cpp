@@ -14,6 +14,7 @@
 // weights); these finish the inherently-sequential graph work.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -472,6 +473,181 @@ int64_t agglomerate(
 
     *n_merges_out = n_merges;
     return n_edges;
+}
+
+// ---------------------------------------------------------------------------
+// dense mutex watershed: edge generation + weight prep + radix sort +
+// clustering + densified labels in ONE native pass
+// ---------------------------------------------------------------------------
+
+// The edge-list path (mutex_watershed above) needs the caller to build
+// u/v/weight/order arrays; on slow hosts the numpy index math for that
+// costs 10x the clustering itself. This variant takes the affinity grid
+// directly: edges are generated channel-major in C voxel order (same
+// order the python path produced), weights get per-channel bias plus
+// optional counter-based gaussian noise, the sort is a stable LSD radix
+// on the |weight| float bits, and labels come back densified to 1..K.
+// Randomised stride subsampling and noise are deterministic in
+// (seed, channel, voxel) via splitmix64, independent of loop order.
+
+static inline uint64_t splitmix64(uint64_t x) {
+    x += 0x9E3779B97F4A7C15ull;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ull;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBull;
+    return x ^ (x >> 31);
+}
+
+static inline double u01(uint64_t h) {
+    // uniform in (0,1): top 53 bits, offset half a ulp so log() is safe
+    return ((double)(h >> 11) + 0.5) * (1.0 / 9007199254740992.0);
+}
+
+uint64_t mutex_watershed_dense(
+    const float* affs,            // C x n, grids C-order (Z,Y,X)
+    int64_t Z, int64_t Y, int64_t X,
+    const int32_t* neighborhood,  // C x 3 offsets
+    uint64_t C,                   // < 128 (channel packs beside a sign bit)
+    const double* bias,           // C
+    const int32_t* strides,       // C x 3; (1,1,1) = keep every voxel
+    const uint8_t* randomized,    // C; nonzero = random keep at 1/prod(stride)
+    double noise_eps,             // 0 = no noise
+    uint64_t seed,
+    uint64_t* out_labels) {       // n; dense ids 1..K (K returned)
+    const uint64_t n = (uint64_t)Z * Y * X;
+
+    // --- 1. generate edges (channel-major, C voxel order) ---
+    std::vector<uint32_t> eu;   // source voxel, flat
+    std::vector<uint8_t> ec;    // channel | attractive << 7
+    std::vector<uint32_t> key;  // float bits of |w| (monotonic for w >= 0)
+    int64_t doff[128];
+    {
+        uint64_t cap = 0;
+        for (uint64_t c = 0; c < C; c++) {
+            const int32_t* o = neighborhood + 3 * c;
+            uint64_t vz = (uint64_t)std::max<int64_t>(0, Z - std::abs(o[0]));
+            uint64_t vy = (uint64_t)std::max<int64_t>(0, Y - std::abs(o[1]));
+            uint64_t vx = (uint64_t)std::max<int64_t>(0, X - std::abs(o[2]));
+            const int32_t* s = strides + 3 * c;
+            if (!randomized[c]) {
+                vz = (vz + s[0] - 1) / s[0];
+                vy = (vy + s[1] - 1) / s[1];
+                vx = (vx + s[2] - 1) / s[2];
+            }
+            cap += vz * vy * vx;
+        }
+        eu.reserve(cap); ec.reserve(cap); key.reserve(cap);
+    }
+    for (uint64_t c = 0; c < C; c++) {
+        const int32_t oz = neighborhood[3 * c], oy = neighborhood[3 * c + 1],
+                      ox = neighborhood[3 * c + 2];
+        const int64_t z0 = std::max<int64_t>(0, -oz), z1 = std::min<int64_t>(Z, Z - oz);
+        const int64_t y0 = std::max<int64_t>(0, -oy), y1 = std::min<int64_t>(Y, Y - oy);
+        const int64_t x0 = std::max<int64_t>(0, -ox), x1 = std::min<int64_t>(X, X - ox);
+        const int32_t sz = randomized[c] ? 1 : strides[3 * c];
+        const int32_t sy = randomized[c] ? 1 : strides[3 * c + 1];
+        const int32_t sx = randomized[c] ? 1 : strides[3 * c + 2];
+        const bool rnd = randomized[c] != 0;
+        const double keep_p = 1.0 / ((double)strides[3 * c] *
+                                     strides[3 * c + 1] * strides[3 * c + 2]);
+        const bool noisy = noise_eps != 0.0;
+        const float b = (float)bias[c];
+        const float* ac = affs + c * n;
+        const uint64_t cbase = c * n;
+        doff[c] = (int64_t)oz * Y * X + (int64_t)oy * X + ox;
+        for (int64_t z = z0; z < z1; z += sz)
+            for (int64_t y = y0; y < y1; y += sy) {
+                uint64_t row = ((uint64_t)z * Y + y) * X;
+                for (int64_t x = x0; x < x1; x += sx) {
+                    const uint64_t u = row + x;
+                    uint64_t h = 0;
+                    if (rnd || noisy) h = splitmix64(seed ^ splitmix64(cbase + u));
+                    if (rnd && u01(h) >= keep_p) continue;
+                    float w = ac[u] + b;
+                    if (noisy) {
+                        const uint64_t h1 = splitmix64(h);
+                        const uint64_t h2 = splitmix64(h1);
+                        w += (float)(noise_eps *
+                                     std::sqrt(-2.0 * std::log(u01(h1))) *
+                                     std::cos(6.283185307179586 * u01(h2)));
+                    }
+                    uint32_t kb;
+                    const float aw = std::fabs(w);
+                    std::memcpy(&kb, &aw, 4);
+                    eu.push_back((uint32_t)u);
+                    ec.push_back((uint8_t)(c | (w > 0.f ? 0x80u : 0u)));
+                    key.push_back(kb);
+                }
+            }
+    }
+    const uint64_t E = eu.size();
+
+    // --- 2. stable LSD radix sort, descending |w| (ascending ~key) ---
+    // packed (~key << 32 | edge index); 4 byte passes over the key half
+    std::vector<uint64_t> a(E), b(E);
+    for (uint64_t i = 0; i < E; i++)
+        a[i] = ((uint64_t)(~key[i]) << 32) | i;
+    key.clear(); key.shrink_to_fit();
+    for (int pass = 4; pass < 8; pass++) {
+        uint64_t count[257] = {0};
+        const int shift = pass * 8;
+        for (uint64_t i = 0; i < E; i++)
+            count[((a[i] >> shift) & 0xFF) + 1]++;
+        for (int j = 0; j < 256; j++) count[j + 1] += count[j];
+        for (uint64_t i = 0; i < E; i++)
+            b[count[(a[i] >> shift) & 0xFF]++] = a[i];
+        std::swap(a, b);
+    }
+    b.clear(); b.shrink_to_fit();
+
+    // --- 3. mutex clustering (same rule as mutex_watershed above) ---
+    UnionFind uf(n);
+    std::vector<std::vector<uint64_t>> mutex_nodes(n);
+    auto have_mutex = [&](uint64_t ra, uint64_t rb) {
+        auto& la = mutex_nodes[ra];
+        auto& lb = mutex_nodes[rb];
+        bool a_small = la.size() <= lb.size();
+        auto& small = a_small ? la : lb;
+        uint64_t other = a_small ? rb : ra;
+        for (uint64_t& node : small) {
+            uint64_t r = uf.find(node);
+            node = r;
+            if (r == other) return true;
+        }
+        return false;
+    };
+    for (uint64_t k = 0; k < E; k++) {
+        const uint32_t e = (uint32_t)a[k];
+        const uint64_t u = eu[e];
+        const uint64_t v = (uint64_t)((int64_t)u + doff[ec[e] & 0x7F]);
+        uint64_t ra = uf.find(u);
+        uint64_t rb = uf.find(v);
+        if (ra == rb) continue;
+        if (ec[e] & 0x80) {
+            if (have_mutex(ra, rb)) continue;
+            uint64_t big = ra, small = rb;
+            if (mutex_nodes[big].size() < mutex_nodes[small].size())
+                std::swap(big, small);
+            uf.merge_into(big, small);
+            auto& lb_ = mutex_nodes[big];
+            auto& ls_ = mutex_nodes[small];
+            lb_.insert(lb_.end(), ls_.begin(), ls_.end());
+            ls_.clear();
+            ls_.shrink_to_fit();
+        } else {
+            mutex_nodes[ra].push_back(v);
+            mutex_nodes[rb].push_back(u);
+        }
+    }
+
+    // --- 4. densify roots to 1..K (root-index order == np.unique order) ---
+    uint64_t K = 0;
+    for (uint64_t i = 0; i < n; i++)
+        if (uf.find(i) == i) out_labels[i] = ++K;
+    for (uint64_t i = 0; i < n; i++) {
+        const uint64_t r = uf.find(i);
+        if (r != i) out_labels[i] = out_labels[r];
+    }
+    return K;
 }
 
 // Apply a LUT (old ids -> new ids) to a uint64 array. LUT given as two

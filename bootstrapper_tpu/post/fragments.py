@@ -182,6 +182,31 @@ def mutex_watershed_from_affinities(
         )
 
     shape = affs.shape[1:]
+    if len(shape) == 3 and int(np.prod(shape)) < 2**32:
+        # fast path: edge generation + weights + sort + clustering +
+        # densify all in one native pass (the numpy edge-list math below
+        # costs ~10x the clustering itself on slow hosts)
+        st, rd = [], []
+        for ci, off in enumerate(neighborhood):
+            long_range = max(abs(o) for o in off) > 1
+            if strides is not None and long_range:
+                s = (
+                    strides[ci]
+                    if isinstance(strides[0], (list, tuple))
+                    else strides
+                )
+                st.append(list(s))
+                rd.append(1 if randomized_strides else 0)
+            else:
+                st.append([1, 1, 1])
+                rd.append(0)
+        labels, _ = native.mutex_watershed_dense(
+            affs, neighborhood, bias, st, rd,
+            noise_eps=0.0 if noise_eps is None else float(noise_eps),
+            seed=seed,
+        )
+        return labels
+
     u, v, c = _grid_edges(
         shape, neighborhood, strides, randomized_strides, rng
     )

@@ -140,3 +140,44 @@ def test_replace_values():
     arr = np.array([[1, 2], [3, 99]], np.uint64)
     out = native.replace_values(arr, [1, 2, 3], [10, 20, 30])
     np.testing.assert_array_equal(out, [[10, 20], [30, 99]])
+
+
+def test_mutex_watershed_dense_matches_edge_list_path():
+    """Noise/strides off: the one-pass native path must reproduce the
+    edge-list path (same generation order, weights, and clustering) —
+    including the np.unique-style 1..K densification."""
+    from bootstrapper_tpu.post.fragments import _grid_edges
+
+    rng = np.random.default_rng(7)
+    shape = (5, 16, 16)
+    nb = [[-1, 0, 0], [0, -1, 0], [0, 0, -1], [0, -4, 0], [0, 0, -4]]
+    bias = [-0.2, -0.2, -0.2, -0.6, -0.6]
+    affs = rng.random((5,) + shape, dtype=np.float32)
+
+    u, v, c = _grid_edges(shape, nb, None, False, rng)
+    ew = affs.reshape(5, -1)[c, u].astype(np.float64) + np.asarray(bias)[c]
+    labels = native.mutex_watershed_edges(int(np.prod(shape)), u, v, ew)
+    uniq, dense = np.unique(labels.reshape(shape), return_inverse=True)
+    ref = (dense.reshape(shape) + 1).astype(np.uint64)
+
+    out, k = native.mutex_watershed_dense(
+        affs, nb, bias, [[1, 1, 1]] * 5, [0] * 5, 0.0, 0
+    )
+    np.testing.assert_array_equal(out, ref)
+    assert k == len(uniq)
+
+
+def test_mutex_watershed_dense_rng_determinism():
+    """Noise and randomized strides are counter-based: same seed ->
+    identical labels across calls, different seed -> different draws."""
+    rng = np.random.default_rng(1)
+    affs = rng.random((4, 4, 12, 12), dtype=np.float32)
+    nb = [[-1, 0, 0], [0, -1, 0], [0, 0, -1], [0, 0, -4]]
+    bias = [-0.3] * 3 + [-0.5]
+    st = [[1, 1, 1]] * 3 + [[1, 2, 2]]
+    rd = [0, 0, 0, 1]
+    a1, _ = native.mutex_watershed_dense(affs, nb, bias, st, rd, 0.01, 42)
+    a2, _ = native.mutex_watershed_dense(affs, nb, bias, st, rd, 0.01, 42)
+    b1, _ = native.mutex_watershed_dense(affs, nb, bias, st, rd, 0.01, 43)
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.array_equal(a1, b1)
