@@ -45,32 +45,13 @@ def main():
     print("xplane files:", xplanes)
     if not xplanes:
         return
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
+    # the tensorboard_plugin_profile converters are broken in this image
+    # (protobuf descriptor mismatch + missing pywrap symbol); our own
+    # XSpace analyzer prints the category shares and top ops directly
+    from xplane_report import main as report
 
-        data, _ = raw_to_tool_data.xspace_to_tool_data(
-            xplanes, "op_profile", {}
-        )
-        out = os.path.join(trace_dir, "op_profile.json")
-        mode = "wb" if isinstance(data, bytes) else "w"
-        with open(out, mode) as f:
-            f.write(data)
-        print("wrote", out)
-    except Exception as e:
-        print("op_profile conversion failed:", e)
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-        data, _ = raw_to_tool_data.xspace_to_tool_data(
-            xplanes, "framework_op_stats", {}
-        )
-        out = os.path.join(trace_dir, "op_stats.json")
-        mode = "wb" if isinstance(data, bytes) else "w"
-        with open(out, mode) as f:
-            f.write(data)
-        print("wrote", out)
-    except Exception as e:
-        print("op_stats conversion failed:", e)
+    sys.argv = [sys.argv[0], trace_dir]
+    report()
 
 
 if __name__ == "__main__":
