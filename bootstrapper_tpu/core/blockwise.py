@@ -129,6 +129,66 @@ class Ledger:
             time.sleep(poll)
 
 
+class DirLedger:
+    """Marker-file completion ledger for shared filesystems (NFS/Lustre).
+
+    The SQLite Ledger above needs WAL, which is explicitly single-host;
+    for multi-host runs over a shared mount this backend records one
+    empty marker file per completed (task, block): creation goes through
+    a worker-unique temp name + ``os.link`` (atomic on POSIX and on NFS,
+    where O_EXCL historically was not), and reads are plain directory
+    listings — close-to-open consistency is all the barrier loop needs.
+    Same API as Ledger; ``wait_for`` is inherited behaviourally via
+    ``count_done`` polling in the shared method below.
+    """
+
+    def __init__(self, path: str):
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def _task_dir(self, task: str) -> str:
+        d = os.path.join(self.path, task.replace(os.sep, "_"))
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def done_blocks(self, task: str) -> set:
+        try:
+            names = os.listdir(self._task_dir(task))
+        except FileNotFoundError:
+            return set()
+        return {int(n) for n in names if n.isdigit()}
+
+    def mark_done(self, task: str, block_id: int):
+        d = self._task_dir(task)
+        final = os.path.join(d, str(int(block_id)))
+        tmp = os.path.join(d, f".tmp.{os.getpid()}.{block_id}")
+        with open(tmp, "w"):
+            pass
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            pass  # another worker finished the block first — fine
+        finally:
+            os.unlink(tmp)
+
+    def count_done(self, task: str, block_ids: Optional[Sequence[int]] = None):
+        done = self.done_blocks(task)
+        if block_ids is None:
+            return len(done)
+        return len(done & {int(b) for b in block_ids})
+
+    wait_for = Ledger.wait_for  # same polling barrier, over count_done
+
+
+def open_ledger(path: str):
+    """Ledger factory: a path ending in ``/`` or ``.d``, or an existing
+    directory, selects the shared-filesystem DirLedger; anything else is
+    the single-host SQLite Ledger."""
+    if path.endswith(("/", ".d")) or os.path.isdir(path):
+        return DirLedger(path)
+    return Ledger(path)
+
+
 @dataclass
 class Block:
     block_id: int
@@ -268,7 +328,7 @@ def run_blockwise(
     full = task.all_blocks()
     phases = task._phases(full)
     sharded = task.block_stride > 1
-    ledger = Ledger(task.ledger) if task.ledger else None
+    ledger = open_ledger(task.ledger) if task.ledger else None
     if sharded and task.read_write_conflict and ledger is None:
         raise ValueError(
             f"task {task.name!r}: stride-sharded read-write-conflict "

@@ -34,7 +34,7 @@ import numpy as np
 
 from .. import native
 from ..core.arrays import Array, open_ds, prepare_ds
-from ..core.blockwise import BlockwiseTask, Ledger, run_blockwise_or_raise
+from ..core.blockwise import BlockwiseTask, open_ledger, run_blockwise_or_raise
 from ..core.geometry import Coordinate, Roi
 from .rag import RagDB
 
@@ -406,6 +406,11 @@ def _run_sharded(func_name: str, kwargs: dict, workers: int):
 
 
 def _fresh_ledger(path: str):
+    if path.endswith(("/", ".d")) or os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        return
     for suffix in ("", "-wal", "-shm"):
         if os.path.exists(path + suffix):
             os.remove(path + suffix)
@@ -467,7 +472,7 @@ def waterz_pipeline_blockwise(
         return {t: seg_name(t) for t in thresholds}
 
     sharded = block_stride > 1
-    led = Ledger(ledger) if ledger else None
+    led = open_ledger(ledger) if ledger else None
     affs = open_ds(affs_path)
     total = roi or affs.roi
     vs = affs.voxel_size
@@ -583,7 +588,7 @@ def mws_pipeline_blockwise(
         return {"mws": seg_path}
 
     sharded = block_stride > 1
-    led = Ledger(ledger) if ledger else None
+    led = open_ledger(ledger) if ledger else None
     affs = open_ds(affs_path)
     total = roi or affs.roi
     vs = affs.voxel_size

@@ -345,3 +345,48 @@ def test_cli_segment_workers_override(affs_zarr, single_run):
     s1 = open_ds(f"{root}/single.zarr/segmentations_ws/mean--0_5").to_ndarray()
     s2 = open_ds(f"{root}/cli.zarr/segmentations_ws/mean--0_5").to_ndarray()
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_dir_ledger_api_and_dispatch(tmp_path):
+    """DirLedger (shared-filesystem marker files) matches the SQLite
+    Ledger API; open_ledger picks the backend by path shape."""
+    from bootstrapper_tpu.core.blockwise import DirLedger, open_ledger
+
+    led = open_ledger(str(tmp_path / "led.d"))
+    assert isinstance(led, DirLedger)
+    assert isinstance(open_ledger(str(tmp_path / "led.db")), Ledger)
+
+    led.mark_done("stage", 3)
+    led.mark_done("stage", 7)
+    led.mark_done("stage", 7)  # idempotent re-mark
+    assert led.done_blocks("stage") == {3, 7}
+    assert led.count_done("stage") == 2
+    assert led.count_done("stage", [3, 4, 5]) == 1
+    led.wait_for("stage", [3, 7], timeout=1.0)
+    with pytest.raises(TimeoutError):
+        led.wait_for("stage", [3, 7, 9], timeout=0.3)
+    # second process/host sees the same markers through the filesystem
+    led2 = open_ledger(str(tmp_path / "led.d"))
+    assert led2.done_blocks("stage") == {3, 7}
+    assert led2.done_blocks("other") == set()
+
+
+@pytest.mark.slow
+def test_sharded_pipeline_with_dir_ledger(affs_zarr, single_run):
+    """The sharded subprocess pipeline synchronises correctly through a
+    marker-file ledger (the cross-host story: SQLite WAL is single-host,
+    the .d backend is NFS-safe)."""
+    from bootstrapper_tpu.core.arrays import open_ds
+    from bootstrapper_tpu.post.blockwise_seg import waterz_pipeline_blockwise
+
+    affs_path, root = affs_zarr
+    waterz_pipeline_blockwise(
+        affs_path, f"{root}/dirled.zarr", workers=2,
+        ledger=f"{root}/dirled.zarr/ledger_ws.d", **PIPE_KW
+    )
+    f1 = open_ds(f"{root}/single.zarr/fragments_ws").to_ndarray()
+    f2 = open_ds(f"{root}/dirled.zarr/fragments_ws").to_ndarray()
+    np.testing.assert_array_equal(f1, f2)
+    s1 = open_ds(f"{root}/single.zarr/segmentations_ws/mean--0_5").to_ndarray()
+    s2 = open_ds(f"{root}/dirled.zarr/segmentations_ws/mean--0_5").to_ndarray()
+    np.testing.assert_array_equal(s1, s2)
