@@ -66,7 +66,15 @@ def main():
         ("nofold", lambda: make(False), {}),
         ("auto", lambda: make(True), {}),
         ("all-lazy", lambda: make(True), {"BS_LAZY_UP_BYTES": "0"}),
+        # fully-materialised upsamples: XLA's own cost model scores this
+        # ~7% under 'auto' at the 412 tile (tools/layout_probe.py sweep);
+        # may OOM the 540 tile — runs last, errors are recorded
+        ("materialized", lambda: make(True), {"BS_LAZY_UP_BYTES": "1e18"}),
     ]
+    only = os.environ.get("BS_VARIANTS")
+    if only:
+        names = set(only.split(","))
+        variants = [v for v in variants if v[0] in names]
     for shape in shapes:
         for name, ctor, env in variants:
             for k, v in env.items():
