@@ -431,6 +431,64 @@ def _fold_depth(cfg: UNetConfig, x) -> int:
     return m
 
 
+def _z_slab_decode(f_left, g, i, cfg, crop_factors, decode_fn):
+    """Decode level ``i`` in ``$BS_DECODE_Z_SLABS`` independent z slabs.
+
+    Valid convolutions make every output z-slab a pure function of a
+    contiguous halo'd input range, so slab-by-slab decoding is exact
+    (bit-identical concat) while dividing the level's temporary working
+    set by the slab count — the lever that fits tiles past the
+    single-shot HBM wall (BASELINE.md).  Cost: the z conv halo (4 rows
+    per level) is recomputed per slab, ~13% extra level FLOPs at 4
+    slabs on a 124-deep output.  Only (1,2,2) levels with no z crop
+    (flagship nets never downsample z) are eligible; anything else
+    returns None and the caller decodes single-shot.
+
+    ``decode_fn(f_slab, g_slab)`` runs one slab through the caller's
+    decode strategy (folded / lazy / plain — under slab-sized inputs
+    the memory-adaptive threshold usually picks the materialised form,
+    the best-MXU variant) and must not return None."""
+    import os
+
+    n = int(os.environ.get("BS_DECODE_Z_SLABS", "0"))
+    if n <= 1:
+        return None
+    if tuple(cfg.downsample_factors[i]) != (1, 2, 2):
+        return None
+    if crop_factors[i][0] != 1:
+        return None
+    from . import fold as F
+
+    ks = cfg.kernel_size_up[i]
+    dz = sum(k[0] - 1 for k in ks)
+    up_spatial = (g.shape[1], g.shape[2] * 2, g.shape[3] * 2)
+    try:
+        geom = F.up_crop_geometry(up_spatial, ks, crop_factors[i])
+    except ValueError:
+        return None
+    if geom is None:
+        return None
+    target, offsets = geom
+    if offsets[0] != 0 or target[0] != up_spatial[0]:
+        return None
+    out_z = target[0] - dz
+    if out_z < 2 * n:
+        return None
+    f_zoff = (f_left.shape[1] - target[0]) // 2
+    bounds = [round(s * out_z / n) for s in range(n + 1)]
+    outs = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        g_slab = g[:, a : b + dz]
+        f_slab = f_left[:, f_zoff + a : f_zoff + b + dz]
+        out = decode_fn(f_slab, g_slab)
+        if out is None:
+            return None
+        outs.append(out)
+    import jax.numpy as jnp
+
+    return jnp.concatenate(outs, axis=1)
+
+
 def _try_lazy_decode(
     params, f_left, g, i, h, cfg, crop_factors, compute_dtype,
     f_left_folded, return_folded,
@@ -579,14 +637,15 @@ def unet_apply(
         gs_out = rec(level - 1, g_in)
         fs_out = []
         for h in range(cfg.num_heads):
-            lazy = _try_lazy_decode(
-                params, f_left, gs_out[h], i, h, cfg, crop_factors,
-                compute_dtype, f_left_folded=False, return_folded=False,
-            )
-            fs_out.append(
-                lazy if lazy is not None
-                else decode_plain(f_left, gs_out[h], i, h)
-            )
+            def dfn(f, g, h=h, i=i):
+                lazy = _try_lazy_decode(
+                    params, f, g, i, h, cfg, crop_factors,
+                    compute_dtype, f_left_folded=False, return_folded=False,
+                )
+                return lazy if lazy is not None else decode_plain(f, g, i, h)
+
+            out = _z_slab_decode(f_left, gs_out[h], i, cfg, crop_factors, dfn)
+            fs_out.append(out if out is not None else dfn(f_left, gs_out[h]))
         return fs_out
 
     m = _fold_depth(cfg, x)
@@ -619,15 +678,21 @@ def unet_apply(
         rf = return_folded if i == 0 else False
         fs_out = []
         for h in range(cfg.num_heads):
-            out = _try_lazy_decode(
-                params, skips_f[i], gs_out[h], i, h, cfg, crop_factors,
-                compute_dtype, f_left_folded=True, return_folded=rf,
+            def dfn(f_f, g, h=h, i=i, rf=rf):
+                out = _try_lazy_decode(
+                    params, f_f, g, i, h, cfg, crop_factors,
+                    compute_dtype, f_left_folded=True, return_folded=rf,
+                )
+                if out is None:
+                    # geometry fell outside the folded forms: unfold the
+                    # skip and run the plain level
+                    out = decode_plain(F.unfold(f_f), g, i, h)
+                return out
+
+            out = _z_slab_decode(
+                skips_f[i], gs_out[h], i, cfg, crop_factors, dfn
             )
-            if out is None:
-                # geometry fell outside the folded forms: unfold the
-                # skip and run the plain level
-                out = decode_plain(F.unfold(skips_f[i]), gs_out[h], i, h)
-            fs_out.append(out)
+            fs_out.append(out if out is not None else dfn(skips_f[i], gs_out[h]))
         gs_out = fs_out
     return gs_out
 

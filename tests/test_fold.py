@@ -321,3 +321,32 @@ def test_unet_fold_exact_deep_vs_shallow_fold():
     np.testing.assert_allclose(
         np.asarray(deep[0]), np.asarray(shallow[0]), rtol=0, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("slabs", [2, 3, 5])
+def test_unet_z_slab_decode_exact(slabs):
+    """BS_DECODE_Z_SLABS decodes each folded level in halo'd z slabs;
+    valid convs make the concatenated result equal to the single-shot
+    decode (unet._z_slab_decode)."""
+    import os
+
+    cfg = small_cfg()
+    params = unet_init(jax.random.PRNGKey(7), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 24, 52, 56, 1),
+                          jnp.float32)
+    ref = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+    os.environ["BS_DECODE_Z_SLABS"] = str(slabs)
+    try:
+        chunked = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+        # the lazy in-slab form must agree too
+        os.environ["BS_LAZY_UP_BYTES"] = "0"
+        chunked_lazy = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+    finally:
+        del os.environ["BS_DECODE_Z_SLABS"]
+        os.environ.pop("BS_LAZY_UP_BYTES", None)
+    np.testing.assert_allclose(
+        np.asarray(chunked[0]), np.asarray(ref[0]), rtol=0, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked_lazy[0]), np.asarray(ref[0]), rtol=0, atol=2e-5
+    )
