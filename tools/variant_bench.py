@@ -70,6 +70,11 @@ def main():
         # ~7% under 'auto' at the 412 tile (tools/layout_probe.py sweep);
         # may OOM the 540 tile — runs last, errors are recorded
         ("materialized", lambda: make(True), {"BS_LAZY_UP_BYTES": "1e18"}),
+        # z-slab decode: per-level slab buffers drop under the lazy
+        # threshold, so every level takes the materialised (best-MXU)
+        # form at a 13%-FLOP halo cost (models/unet.py _z_slab_decode)
+        ("slab4", lambda: make(True), {"BS_DECODE_Z_SLABS": "4"}),
+        ("slab2", lambda: make(True), {"BS_DECODE_Z_SLABS": "2"}),
     ]
     only = os.environ.get("BS_VARIANTS")
     if only:
