@@ -447,10 +447,26 @@ def _z_slab_decode(f_left, g, i, cfg, crop_factors, decode_fn):
     ``decode_fn(f_slab, g_slab)`` runs one slab through the caller's
     decode strategy (folded / lazy / plain — under slab-sized inputs
     the memory-adaptive threshold usually picks the materialised form,
-    the best-MXU variant) and must not return None."""
+    the best-MXU variant) and must not return None.
+
+    Default ("auto"): slabs engage exactly where the lazy decode used
+    to — materialised upsample past $BS_LAZY_UP_BYTES — with the count
+    chosen so each slab's upsample stays near $BS_Z_SLAB_TARGET_BYTES
+    (1G).  Measured on a v5e at (152,540,540): 12.64 Mvox/s for 4
+    slabs vs 12.27 single-shot lazy (BASELINE.md round-3 A/B).
+    BS_DECODE_Z_SLABS=0 disables, an integer forces that count."""
+    import math
     import os
 
-    n = int(os.environ.get("BS_DECODE_Z_SLABS", "0"))
+    raw = os.environ.get("BS_DECODE_Z_SLABS", "auto")
+    if raw == "auto":
+        up_bytes = 2 * g.shape[-1] * g.shape[1] * (g.shape[2] * g.shape[3] * 4)
+        if up_bytes <= float(os.environ.get("BS_LAZY_UP_BYTES", 3e9)):
+            return None
+        target = float(os.environ.get("BS_Z_SLAB_TARGET_BYTES", 1e9))
+        n = min(16, math.ceil(up_bytes / max(target, 1.0)))
+    else:
+        n = int(raw)
     if n <= 1:
         return None
     if tuple(cfg.downsample_factors[i]) != (1, 2, 2):

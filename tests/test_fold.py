@@ -350,3 +350,20 @@ def test_unet_z_slab_decode_exact(slabs):
     np.testing.assert_allclose(
         np.asarray(chunked_lazy[0]), np.asarray(ref[0]), rtol=0, atol=2e-5
     )
+
+
+def test_unet_z_slab_auto_engages(monkeypatch):
+    """Default 'auto' slab mode replaces the lazy decode past the
+    threshold: force the thresholds down so the small net engages
+    adaptive slabs, and check exactness against the untouched graph."""
+    cfg = small_cfg()
+    params = unet_init(jax.random.PRNGKey(7), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 24, 52, 56, 1),
+                          jnp.float32)
+    ref = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+    monkeypatch.setenv("BS_LAZY_UP_BYTES", "1000")      # everything "big"
+    monkeypatch.setenv("BS_Z_SLAB_TARGET_BYTES", "20000")  # several slabs
+    auto = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(auto[0]), np.asarray(ref[0]), rtol=0, atol=2e-5
+    )
