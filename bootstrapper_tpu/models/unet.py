@@ -491,11 +491,23 @@ def _z_slab_decode(f_left, g, i, cfg, crop_factors, decode_fn):
     if out_z < 2 * n:
         return None
     f_zoff = (f_left.shape[1] - target[0]) // 2
+    # XLA's layout assignment hoists the slab-shared skip crop + conv
+    # relayout copy above the per-slab z slices (one full-tensor copy is
+    # cheaper to COMPUTE than n overlapping slab copies), recreating the
+    # whole-tensor working set the slabs exist to avoid — the 2x2.43G
+    # level-2 buffers in the (152,668,668) OOM dump.  An
+    # optimization_barrier on each slab's inputs pins the slice below
+    # the copy so the relayout happens per slab.  Costs halo-sized
+    # recompute of the copies; only worth it when memory is the binding
+    # constraint, so off unless $BS_SLAB_BARRIER=1.
+    barrier = os.environ.get("BS_SLAB_BARRIER", "0") == "1"
     bounds = [round(s * out_z / n) for s in range(n + 1)]
     outs = []
     for a, b in zip(bounds[:-1], bounds[1:]):
         g_slab = g[:, a : b + dz]
         f_slab = f_left[:, f_zoff + a : f_zoff + b + dz]
+        if barrier:
+            f_slab, g_slab = jax.lax.optimization_barrier((f_slab, g_slab))
         out = decode_fn(f_slab, g_slab)
         if out is None:
             return None

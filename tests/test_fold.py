@@ -352,6 +352,23 @@ def test_unet_z_slab_decode_exact(slabs):
     )
 
 
+def test_unet_z_slab_barrier_exact(monkeypatch):
+    """BS_SLAB_BARRIER pins per-slab relayouts below the z slices (an
+    HBM-peak fix for huge tiles, see _z_slab_decode); the
+    optimization_barrier must not change values."""
+    cfg = small_cfg()
+    params = unet_init(jax.random.PRNGKey(7), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 24, 52, 56, 1),
+                          jnp.float32)
+    ref = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+    monkeypatch.setenv("BS_DECODE_Z_SLABS", "3")
+    monkeypatch.setenv("BS_SLAB_BARRIER", "1")
+    got = unet_apply(params, x, cfg, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=0, atol=2e-5
+    )
+
+
 def test_unet_z_slab_auto_engages(monkeypatch):
     """Default 'auto' slab mode replaces the lazy decode past the
     threshold: force the thresholds down so the small net engages
