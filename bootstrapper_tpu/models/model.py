@@ -120,6 +120,16 @@ class Model:
             # (n, d, h, w, c) -> (n, h, w, d*c)
             n, d, h, w, c = x.shape
             x = jnp.moveaxis(x, 1, 3).reshape(n, h, w, d * c)
+        spatial = tuple(x.shape[1 : 1 + cfg.dims])
+        try:
+            compute_output_shape(cfg, spatial)
+        except ValueError as e:
+            # fail here with geometry context instead of deep inside the
+            # fold/decode graph with an empty-tensor slice error
+            raise ValueError(
+                f"input spatial shape {spatial} is invalid for this "
+                f"setup ({e}); the standard tile is {self.input_shape}"
+            ) from None
         z = unet_apply(
             params["unet"], x, cfg, self.compute_dtype, return_folded=True
         )[0]

@@ -133,3 +133,19 @@ def test_gradients_flow():
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+def test_apply_rejects_too_small_input():
+    """Invalid tile shapes fail with a geometry message, not an opaque
+    empty-tensor slice error from deep inside the fold graph."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from bootstrapper_tpu.models import Model
+
+    m = Model.from_setup("3d_affs")
+    params = m.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 36, 76, 76, 1), jnp.float32)
+    with pytest.raises(ValueError, match="invalid for this setup"):
+        m.apply(params, x)

@@ -75,6 +75,9 @@ def main():
         # form at a 13%-FLOP halo cost (models/unet.py _z_slab_decode)
         ("slab4", lambda: make(True), {"BS_DECODE_Z_SLABS": "4"}),
         ("slab2", lambda: make(True), {"BS_DECODE_Z_SLABS": "2"}),
+        # adaptive slabs + optimization_barrier pinning per-slab
+        # relayouts below the z slices (the 668-tile HBM fix)
+        ("barrier", lambda: make(True), {"BS_SLAB_BARRIER": "1"}),
     ]
     only = os.environ.get("BS_VARIANTS")
     if only:
