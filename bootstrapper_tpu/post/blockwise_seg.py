@@ -36,7 +36,7 @@ from .. import native
 from ..core.arrays import Array, open_ds, prepare_ds
 from ..core.blockwise import BlockwiseTask, open_ledger, run_blockwise_or_raise
 from ..core.geometry import Coordinate, Roi
-from .rag import RagDB
+from .rag import RagDB, open_rag
 
 # .fragments (scipy.ndimage, ~4 s on a slow host) is imported inside the
 # frags stage only — LUT/extract/agglomerate subprocess workers skip it.
@@ -434,6 +434,7 @@ def waterz_pipeline_blockwise(
     block_stride: int = 1,
     block_offset: int = 0,
     ledger: Optional[str] = None,
+    db: Optional[dict] = None,
 ) -> Dict[float, str]:
     """Full 4-stage pipeline; returns {threshold: segmentation path}.
 
@@ -466,6 +467,7 @@ def waterz_pipeline_blockwise(
                 epsilon_agglomerate=epsilon_agglomerate,
                 replace_sections=replace_sections,
                 num_workers=num_workers, roi=roi, ledger=ledger,
+                db=db,
             ),
             workers,
         )
@@ -481,6 +483,9 @@ def waterz_pipeline_blockwise(
 
     frag_path = f"{output_container}/fragments_ws"
     rag_path = f"{output_container}/rag_ws.db"
+    # RAG backend: SQLite file by default; a db config with db_name/
+    # db_host routes to PostgreSQL (reference hglom/frags.py:208-233)
+    db_cfg = db or {"db_file": rag_path}
     # Setup must be idempotent under crash-respawn: a respawned shard 0
     # re-enters here after the ledger already recorded setup_ws, and
     # recreating the datasets/RAG (mode="w") would wipe blocks other
@@ -491,7 +496,7 @@ def waterz_pipeline_blockwise(
             frag_path, vox_shape, total.offset, vs, np.uint64,
             chunk_shape=chunk,
         )
-        rag = RagDB(rag_path, mode="w")
+        rag = open_rag(db_cfg, mode="w")
         for t in thresholds:
             prepare_ds(
                 seg_name(t), vox_shape, total.offset, vs, np.uint64,
@@ -503,7 +508,7 @@ def waterz_pipeline_blockwise(
         if led:
             led.wait_for("setup_ws", [0])
         fragments = open_ds(frag_path, mode="r+")
-        rag = RagDB(rag_path, mode="r+")
+        rag = open_rag(db_cfg, mode="r+")
 
     extract_fragments_blockwise(
         affs, fragments, rag, block_shape, context_voxels,
@@ -564,6 +569,7 @@ def mws_pipeline_blockwise(
     block_stride: int = 1,
     block_offset: int = 0,
     ledger: Optional[str] = None,
+    db: Optional[dict] = None,
     **mws_kwargs,
 ) -> Dict[str, str]:
     """Blockwise mutex pipeline (volara ExtractFrags/AffAgglom/GraphMWS/
@@ -581,6 +587,7 @@ def mws_pipeline_blockwise(
                 context_voxels=list(context_voxels),
                 filter_fragments=filter_fragments,
                 num_workers=num_workers, roi=roi, ledger=ledger,
+                db=db,
                 **mws_kwargs,
             ),
             workers,
@@ -597,6 +604,7 @@ def mws_pipeline_blockwise(
 
     frag_path = f"{output_container}/fragments_mws"
     rag_path = f"{output_container}/rag_mws.db"
+    db_cfg = db or {"db_file": rag_path}
     # Idempotent under crash-respawn of shard 0 (see waterz pipeline).
     setup_done = bool(led) and led.count_done("setup_mws", [0]) > 0
     if (not sharded or block_offset == 0) and not setup_done:
@@ -604,7 +612,7 @@ def mws_pipeline_blockwise(
             frag_path, vox_shape, total.offset, vs, np.uint64,
             chunk_shape=chunk,
         )
-        rag = RagDB(rag_path, mode="w")
+        rag = open_rag(db_cfg, mode="w")
         prepare_ds(
             seg_path, vox_shape, total.offset, vs, np.uint64,
             chunk_shape=chunk,
@@ -615,7 +623,7 @@ def mws_pipeline_blockwise(
         if led:
             led.wait_for("setup_mws", [0])
         fragments = open_ds(frag_path, mode="r+")
-        rag = RagDB(rag_path, mode="r+")
+        rag = open_rag(db_cfg, mode="r+")
 
     extract_fragments_blockwise(
         affs, fragments, rag, block_shape, context_voxels,

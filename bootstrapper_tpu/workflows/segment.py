@@ -101,6 +101,10 @@ def run_segmentation(
             shard_kw = dict(
                 workers=workers, block_stride=block_stride,
                 block_offset=block_offset, ledger=ledger,
+                # RAG backend: -p "db={'db_name':...,'db_host':...}" (or a
+                # [db] table in the config) routes the pipeline's RAG to
+                # PostgreSQL via open_rag; default stays the SQLite file
+                db=params.pop("db", cfg.get("db")),
             )
             if mode == "ws":
                 segs = waterz_pipeline_blockwise(

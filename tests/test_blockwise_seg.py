@@ -180,3 +180,70 @@ def test_open_rag_dispatch(tmp_path):
     # signed/unsigned BIGINT roundtrip used by the Pg backend
     for v in (0, 1, 2**63 - 1, 2**63, 2**64 - 1):
         assert PgRagDB._unsigned(PgRagDB._signed(v)) == v
+
+
+def _install_fake_pg(monkeypatch, tmp_path):
+    import sys
+
+    import fake_psycopg2
+
+    monkeypatch.setattr(fake_psycopg2, "BASE_DIR", str(tmp_path))
+    monkeypatch.setitem(sys.modules, "psycopg2", fake_psycopg2)
+    return fake_psycopg2
+
+
+def test_pg_rag_db_full_flow(monkeypatch, tmp_path):
+    """PgRagDB's complete SQL surface (DDL, upserts with EXCLUDED/LEAST,
+    reads, signed/unsigned uint64 folding) exercised through a
+    psycopg2-shaped DB-API shim (tests/fake_psycopg2.py): everything but
+    the PostgreSQL wire engine is the production code path."""
+    _install_fake_pg(monkeypatch, tmp_path)
+    from bootstrapper_tpu.post.rag import PgRagDB
+
+    big = np.uint64(2**63 + 17)  # exceeds BIGINT range unsigned
+    db = PgRagDB({"dbname": "ragtest", "host": "localhost"}, mode="w")
+    db.write_nodes(
+        [1, 2, big], np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2.0]])
+    )
+    db.write_edges([1, 2], [2, big], [0.4, 0.9])
+    # upsert: re-writing node 2 moves its center, edge keeps min score
+    db.write_nodes([2], np.array([[5, 5, 5.0]]))
+    db.write_edges([2], [1], [0.1])
+    ids, centers = db.read_nodes()
+    assert set(ids.tolist()) == {1, 2, int(big)}
+    assert centers[list(ids).index(2)].tolist() == [5, 5, 5]
+    u, v, s = db.read_edges()
+    assert db.counts() == (3, 2)
+    assert s[(u == 1) & (v == 2)][0] == pytest.approx(0.1)
+    assert int(big) in set(u.tolist()) | set(v.tolist())
+    # reopening in r+ keeps rows; w drops them
+    assert PgRagDB({"dbname": "ragtest"}, mode="r+").counts() == (3, 2)
+    assert PgRagDB({"dbname": "ragtest"}, mode="w").counts() == (0, 0)
+
+
+def test_waterz_blockwise_with_pg_rag(monkeypatch, tmp_path):
+    """The full 4-stage blockwise pipeline with its RAG routed to the
+    PostgreSQL backend (db config with db_name/db_host -> open_rag ->
+    PgRagDB) produces the same segmentation as the SQLite path."""
+    _install_fake_pg(monkeypatch, tmp_path)
+    gt = _gt_volume()
+    affs_path = _write_affs(tmp_path, gt)
+    kw = dict(
+        block_shape=(8, 24, 24),
+        context_voxels=(2, 6, 6),
+        thresholds=[0.5],
+        filter_fragments=0.0,
+        num_workers=2,
+    )
+    segs_pg = waterz_pipeline_blockwise(
+        affs_path, str(tmp_path / "pg.zarr"),
+        db={"db_name": "blockwise", "db_host": "localhost"}, **kw,
+    )
+    segs_sq = waterz_pipeline_blockwise(
+        affs_path, str(tmp_path / "sq.zarr"), **kw,
+    )
+    out_pg = open_ds(segs_pg[0.5]).to_ndarray()
+    out_sq = open_ds(segs_sq[0.5]).to_ndarray()
+    # identical partitions (ids may differ)
+    scores = rand_voi(out_sq, out_pg)
+    assert scores["voi_split"] + scores["voi_merge"] == pytest.approx(0.0)
