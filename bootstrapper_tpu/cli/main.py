@@ -418,11 +418,20 @@ def evaluate(config_file, volume, gt_only, pred_only, out_result):
 @click.argument("config_file", type=click.Path(exists=True))
 @click.option("--volume", "-v", default=None)
 @click.option("--param", "-p", multiple=True, help="key=value overrides")
-def filter(config_file, volume, param):
+@click.option("--roi-offset", "-ro", nargs=3, type=int, default=None)
+@click.option("--roi-shape", "-rs", nargs=3, type=int, default=None)
+@click.option("--num-workers", "-n", type=int, default=None)
+@click.option("--block-shape", "-bs", nargs=3, type=int, default=None)
+def filter(config_file, volume, param, roi_offset, roi_shape, num_workers,
+           block_shape):
     """Filter the best segmentation into pseudo-GT for the next round."""
     from ..workflows.filter import run_filter
 
-    result = run_filter(config_file, volume=volume, param_overrides=param)
+    result = run_filter(
+        config_file, volume=volume, param_overrides=param,
+        roi_offset=roi_offset or None, roi_shape=roi_shape or None,
+        num_workers=num_workers, block_shape=block_shape or None,
+    )
     for vol, res in result.items():
         cli_echo(
             f"{vol}: removed {res['removed_ids']} ids -> {res['labels']}",

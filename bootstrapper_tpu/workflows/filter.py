@@ -14,6 +14,7 @@ import logging
 import os
 from typing import Optional
 
+from ..core.geometry import Roi
 from ..post.filter import filter_segmentation_blockwise
 from ..utils import tomlio
 
@@ -50,16 +51,36 @@ def get_best_seg_from_eval(eval_json: str) -> tuple:
 
 
 def run_filter(
-    config_file: str, volume: Optional[str] = None, param_overrides=()
+    config_file: str,
+    volume: Optional[str] = None,
+    param_overrides=(),
+    roi_offset=None,
+    roi_shape=None,
+    num_workers: Optional[int] = None,
+    block_shape=None,
 ) -> dict:
+    """CLI kwargs override per-volume config values (reference
+    ``filter.py:155-193`` option surface: -ro/-rs/-n/-bs/-p)."""
     from ast import literal_eval
 
     cfg_all = tomlio.load(config_file)
     cfg_all = cfg_all.get("filter", cfg_all)
+    if (roi_offset is None) != (roi_shape is None):
+        raise ValueError(
+            "--roi-offset and --roi-shape must be given together"
+        )
     out = {}
     for volume_name, cfg in cfg_all.items():
         if volume is not None and volume_name != volume:
             continue
+        cfg = dict(cfg)
+        if roi_offset is not None:
+            cfg["roi_offset"] = list(roi_offset)
+            cfg["roi_shape"] = list(roi_shape)
+        if num_workers is not None:
+            cfg["num_workers"] = num_workers
+        if block_shape is not None:
+            cfg["block_shape"] = list(block_shape)
         for kv in param_overrides:
             k, v = kv.split("=", 1)
             try:
@@ -84,7 +105,14 @@ def run_filter(
             remove_z_fragments=cfg.get("remove_z_fragments", 10),
             overlap_filter=cfg.get("overlap_filter", 0.0),
             erode_out_mask=cfg.get("erode_out_mask", False),
+            exclude_ids=cfg.get("exclude_ids"),
+            block_shape=tuple(cfg.get("block_shape", (16, 256, 256))),
             num_workers=cfg.get("num_workers", 8),
+            roi=(
+                Roi(cfg["roi_offset"], cfg["roi_shape"])
+                if "roi_offset" in cfg
+                else None
+            ),
         )
         res["source_segmentation"] = seg_path
         out[volume_name] = res

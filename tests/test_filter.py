@@ -106,3 +106,44 @@ def test_outlier_filter_standalone():
     seg[1:, :] = 11  # huge outlier
     out = outlier_filter(seg, sigma=2.0, relabel_cc=False)
     assert 11 not in out
+
+
+def test_run_filter_cli_overrides(tmp_path):
+    """bs filter -ro/-rs/-n/-bs parity (reference filter.py:155-193):
+    CLI kwargs override the config and restrict the filtered ROI."""
+    from click.testing import CliRunner
+
+    from bootstrapper_tpu.cli.main import cli
+    from bootstrapper_tpu.utils import tomlio
+
+    seg = np.ones((6, 16, 16), np.uint64)
+    ds = prepare_ds(
+        str(tmp_path / "f.zarr/seg"), seg.shape, (0, 0, 0), (1, 1, 1),
+        np.uint64,
+    )
+    ds[ds.roi] = seg
+    tomlio.dump(
+        {"filter": {"vol": {
+            "seg_dataset": str(tmp_path / "f.zarr/seg"),
+            "out_seg_dataset_prefix": str(tmp_path / "f.zarr/labels"),
+            "out_mask_dataset_prefix": str(tmp_path / "f.zarr/mask"),
+            "dust_filter": 0,
+            "remove_outliers": False,
+            "remove_z_fragments": 1,
+        }}},
+        str(tmp_path / "filter.toml"),
+    )
+    r = CliRunner().invoke(cli, [
+        "filter", str(tmp_path / "filter.toml"),
+        "-ro", "2", "0", "0", "-rs", "2", "16", "16",
+        "-n", "1", "-bs", "2", "8", "8",
+    ])
+    assert r.exit_code == 0, r.output
+    out = open_ds(str(tmp_path / "f.zarr/labels")).to_ndarray()
+    assert out.shape == (2, 16, 16)  # ROI-restricted
+
+    # mismatched ROI flags error out rather than TypeError later
+    r = CliRunner().invoke(cli, [
+        "filter", str(tmp_path / "filter.toml"), "-ro", "0", "0", "0",
+    ])
+    assert r.exit_code != 0
