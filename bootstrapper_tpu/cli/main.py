@@ -368,8 +368,10 @@ def predict(config_file, volume, batch_tiles, sharded, auto_tile,
 
 @cli.command()
 @click.argument("config_file", type=click.Path(exists=True))
-@click.option("--mode", "-m", default="ws",
-              type=click.Choice(["ws", "mws", "cc"]))
+@click.option("--mode", "-m", "modes", multiple=True,
+              type=click.Choice(["ws", "mws", "cc"]),
+              help="repeatable; default = every method with a "
+                   "{method}_params table in the config, else ws")
 @click.option("--volume", "-v", default=None)
 @click.option("--param", "-p", multiple=True, help="key=value overrides")
 @click.option("--roi-offset", "-ro", nargs=3, type=int, default=None)
@@ -378,20 +380,39 @@ def predict(config_file, volume, batch_tiles, sharded, auto_tile,
 @click.option("--num-workers", "-n", type=int, default=None)
 @click.option("--block-shape", "-bs", nargs=3, type=int, default=None)
 @click.option("--block-context", "-bc", nargs=3, type=int, default=None)
-def segment(config_file, mode, volume, param, roi_offset, roi_shape,
+def segment(config_file, modes, volume, param, roi_offset, roi_shape,
             blockwise, num_workers, block_shape, block_context):
-    """Segment affinities (ws | mws | cc)."""
+    """Segment affinities (ws | mws | cc).
+
+    With no -m, runs every method that has a ``{method}_params`` table
+    in the config (reference ``segment.py:199-213``), falling back to
+    plain watershed."""
+    from ..utils import tomlio
     from ..workflows.segment import run_segmentation
 
-    result = run_segmentation(
-        config_file, mode=mode, volume=volume, param_overrides=param,
-        roi_offset=roi_offset or None, roi_shape=roi_shape or None,
-        blockwise=blockwise, num_workers=num_workers,
-        block_shape=block_shape or None, context=block_context or None,
-    )
-    for vol, segs in result.items():
-        for k, path in segs.items():
-            cli_echo(f"{vol} [{k}]: {path}", "segment")
+    if not modes:
+        cfg = tomlio.load(config_file)
+        cfg = cfg.get("segment", cfg)
+        tables = set()
+        for vol_cfg in cfg.values():
+            if isinstance(vol_cfg, dict):
+                tables |= {
+                    m for m in ("ws", "mws", "cc")
+                    if vol_cfg.get(f"{m}_params") is not None
+                }
+        modes = tuple(m for m in ("ws", "mws", "cc") if m in tables) or (
+            "ws",
+        )
+    for mode in modes:
+        result = run_segmentation(
+            config_file, mode=mode, volume=volume, param_overrides=param,
+            roi_offset=roi_offset or None, roi_shape=roi_shape or None,
+            blockwise=blockwise, num_workers=num_workers,
+            block_shape=block_shape or None, context=block_context or None,
+        )
+        for vol, segs in result.items():
+            for k, path in segs.items():
+                cli_echo(f"{vol} [{k}]: {path}", "segment")
 
 
 @cli.command()

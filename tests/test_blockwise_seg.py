@@ -247,3 +247,38 @@ def test_waterz_blockwise_with_pg_rag(monkeypatch, tmp_path):
     # identical partitions (ids may differ)
     scores = rand_voi(out_sq, out_pg)
     assert scores["voi_split"] + scores["voi_merge"] == pytest.approx(0.0)
+
+
+def test_segment_cli_method_autodetect(tmp_path):
+    """With no -m, `bs segment` runs every method that has a
+    {method}_params table in the config (reference segment.py:199-213);
+    -m is repeatable for explicit multi-method runs."""
+    from click.testing import CliRunner
+
+    from bootstrapper_tpu.cli.main import cli
+    from bootstrapper_tpu.utils import tomlio
+
+    gt = _gt_volume()
+    affs_path = _write_affs(tmp_path, gt)
+    tomlio.dump(
+        {"segment": {"vol": {
+            "affs_dataset": affs_path,
+            "seg_dataset_prefix": str(tmp_path / "v.zarr/segmentations"),
+            "ws_params": {"thresholds": [0.5]},
+            "mws_params": {
+                "neighborhood": [[-1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                "bias": [-0.5, -0.5, -0.5],
+            },
+        }}},
+        str(tmp_path / "seg.toml"),
+    )
+    r = CliRunner().invoke(cli, ["segment", str(tmp_path / "seg.toml")])
+    assert r.exit_code == 0, r.output
+    assert "[ws" in r.output or "mean--" in r.output
+    assert "mws" in r.output
+    # explicit single method runs only that one
+    r = CliRunner().invoke(
+        cli, ["segment", str(tmp_path / "seg.toml"), "-m", "ws"]
+    )
+    assert r.exit_code == 0, r.output
+    assert "mws" not in r.output
