@@ -194,7 +194,10 @@ def test_sharded_pipeline_survives_worker_crash(affs_zarr, single_run, monkeypat
     def crashy(func_name, kwargs, workers):
         import json
 
-        from bootstrapper_tpu.core.blockwise import run_sharded_subprocesses
+        from bootstrapper_tpu.core.blockwise import (
+            host_only_env,
+            run_sharded_subprocesses,
+        )
 
         kw = dict(kwargs)
         roi = kw.get("roi")
@@ -222,7 +225,12 @@ def test_sharded_pipeline_survives_worker_crash(affs_zarr, single_run, monkeypat
             )
             return [sys.executable, "-c", code]
 
-        run_sharded_subprocesses(make_argv, workers, max_restarts=2)
+        # host_only_env strips the axon sitecustomize: without it the
+        # workers inherit the relay plugin and jax.devices() hangs
+        # whenever the TPU relay is unreachable (JAX_PLATFORMS=cpu in
+        # the env does NOT override a sitecustomize-registered plugin)
+        run_sharded_subprocesses(make_argv, workers, max_restarts=2,
+                                 env=host_only_env())
 
     monkeypatch.setattr(B, "_run_sharded", crashy)
     segs = B.waterz_pipeline_blockwise(
