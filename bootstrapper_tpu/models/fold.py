@@ -79,7 +79,12 @@ def fold_conv_weights(w, b):
 
 def folded_conv(xf, w, b, *, compute_dtype=jnp.bfloat16):
     """Valid conv on a folded array using ORIGINAL (unfolded) weights."""
+    from ..ops import quant
+
     wf, bf = fold_conv_weights(w, b)
+    if quant.int8_enabled():
+        y = quant.qconv(xf, wf, out_dtype=compute_dtype)
+        return y + bf.astype(compute_dtype)
     y = jax.lax.conv_general_dilated(
         xf.astype(compute_dtype),
         wf.astype(compute_dtype),
@@ -95,18 +100,24 @@ def folded_conv_split(xfs, w, b, *, compute_dtype=jnp.bfloat16):
     original weights are split by each input's (unfolded) channel count,
     folded separately, and the partial convs summed — the wide folded
     concat is never materialised."""
+    from ..ops import quant
+
+    q8 = quant.int8_enabled()
     off = 0
     y = None
     for xf in xfs:
         c = xf.shape[-1] // 4
         wf, _ = fold_conv_weights(w[..., off : off + c, :], b)
-        part = jax.lax.conv_general_dilated(
-            xf.astype(compute_dtype),
-            wf.astype(compute_dtype),
-            window_strides=(1, 1, 1),
-            padding="VALID",
-            dimension_numbers=_dim_numbers(3),
-        )
+        if q8:
+            part = quant.qconv(xf, wf, out_dtype=compute_dtype)
+        else:
+            part = jax.lax.conv_general_dilated(
+                xf.astype(compute_dtype),
+                wf.astype(compute_dtype),
+                window_strides=(1, 1, 1),
+                padding="VALID",
+                dimension_numbers=_dim_numbers(3),
+            )
         y = part if y is None else y + part
         off += c
     return y + jnp.tile(b, 4).astype(compute_dtype)
@@ -258,12 +269,18 @@ def lazy_upsample_conv(
     c0z, c0y, c0x = crop_offsets
     tz, ty, tx = target
     ly, lx = (ty - ky + 1) // 2, (tx - kx + 1) // 2
+    from ..ops import quant
+
+    q8 = quant.int8_enabled()
     gp = jnp.pad(g, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     gp = gp[:, c0z : c0z + tz]
     phases = []
     for (_, kern, (by, bx)) in composite_up_kernels(w, c0y, c0x):
         t_y, t_x = kern.shape[1], kern.shape[2]
         sl = gp[:, :, by : by + ly + t_y - 1, bx : bx + lx + t_x - 1, :]
+        if q8:
+            phases.append(quant.qconv(sl, kern, out_dtype=compute_dtype))
+            continue
         phases.append(
             jax.lax.conv_general_dilated(
                 sl.astype(compute_dtype),

@@ -119,6 +119,12 @@ def _conv(x, w, b, *, compute_dtype=jnp.bfloat16):
     # bf16 in / bf16 out: the TPU MXU accumulates bf16 convolutions in
     # fp32 internally, so no explicit preferred_element_type is needed
     # (and JAX's conv grad rule rejects dtype-upcasting convs).
+    from ..ops import quant
+
+    if quant.int8_enabled():
+        return quant.qconv(x, w, out_dtype=compute_dtype) + b.astype(
+            compute_dtype
+        )
     dims = w.ndim - 2
     y = jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
@@ -177,17 +183,25 @@ def _conv_split(xs, w, b, compute_dtype=jnp.bfloat16):
     channel-split weights.  Equivalent to ``_conv(concat(xs), w, b)`` but
     never materialises the wide concatenated tensor (the skip concat at
     the deep levels is the HBM peak for large tiles)."""
+    from ..ops import quant
+
+    q8 = quant.int8_enabled()
     off = 0
     y = None
     for x in xs:
         c = x.shape[-1]
-        part = jax.lax.conv_general_dilated(
-            x.astype(compute_dtype),
-            w[..., off : off + c, :].astype(compute_dtype),
-            window_strides=(1,) * (w.ndim - 2),
-            padding="VALID",
-            dimension_numbers=_dim_numbers(w.ndim - 2),
-        )
+        if q8:
+            part = quant.qconv(
+                x, w[..., off : off + c, :], out_dtype=compute_dtype
+            )
+        else:
+            part = jax.lax.conv_general_dilated(
+                x.astype(compute_dtype),
+                w[..., off : off + c, :].astype(compute_dtype),
+                window_strides=(1,) * (w.ndim - 2),
+                padding="VALID",
+                dimension_numbers=_dim_numbers(w.ndim - 2),
+            )
         y = part if y is None else y + part
         off += c
     return y + b.astype(compute_dtype)

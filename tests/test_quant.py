@@ -1,0 +1,73 @@
+"""BS_INT8 dynamic int8 inference path (ops/quant.py): bounded
+quantization error at every conv entry point and end to end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bootstrapper_tpu.models.unet import UNetConfig, unet_apply, unet_init
+from bootstrapper_tpu.ops import quant
+
+
+def test_qconv_matches_fp_conv_within_quant_error():
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 10, 12, 5))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 3, 5, 7)) * 0.1
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    got = quant.qconv(x, w, out_dtype=jnp.float32)
+    denom = float(jnp.abs(ref).mean())
+    rel = float(jnp.abs(got - ref).mean()) / denom
+    assert rel < 0.02, rel
+
+
+def test_qconv_per_channel_weight_scales():
+    """A channel with tiny weights must not be crushed by a channel
+    with huge weights (per-output-channel scales)."""
+    x = jnp.ones((1, 3, 3, 3, 2))
+    w = jnp.zeros((3, 3, 3, 2, 2))
+    w = w.at[..., 0].set(100.0).at[..., 1].set(0.01)
+    out = np.asarray(quant.qconv(x, w, out_dtype=jnp.float32))
+    ref = np.array([100.0 * 54, 0.01 * 54])
+    np.testing.assert_allclose(out[0, 0, 0, 0], ref, rtol=0.02)
+
+
+@pytest.mark.parametrize("force_lazy", [False, True])
+def test_unet_int8_end_to_end(monkeypatch, force_lazy):
+    """The whole U-Net (folded + plain + lazy levels) under BS_INT8=1
+    stays within ~1% relative error of the fp graph."""
+    cfg = small = UNetConfig(
+        in_channels=1, num_fmaps=4, fmap_inc_factor=3,
+        downsample_factors=[[1, 2, 2]] * 2,
+        kernel_size_down=[[[3, 3, 3], [3, 3, 3]]] * 3,
+        kernel_size_up=[[[3, 3, 3], [3, 3, 3]]] * 2,
+    )
+    params = unet_init(jax.random.PRNGKey(7), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(8), (1, 24, 52, 56, 1),
+                           jnp.float32)
+    ref = np.asarray(unet_apply(params, x, cfg, compute_dtype=jnp.float32)[0])
+    assert ref.size > 0
+    if force_lazy:
+        monkeypatch.setenv("BS_LAZY_UP_BYTES", "0")
+    monkeypatch.setenv("BS_INT8", "1")
+    got = np.asarray(unet_apply(params, x, cfg, compute_dtype=jnp.float32)[0])
+    rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.03, rel
+
+
+def test_int8_flag_off_is_bitwise_default(monkeypatch):
+    cfg = UNetConfig(
+        in_channels=1, num_fmaps=3, fmap_inc_factor=2,
+        downsample_factors=[[1, 2, 2]],
+        kernel_size_down=[[[3, 3, 3], [3, 3, 3]]] * 2,
+        kernel_size_up=[[[3, 3, 3], [3, 3, 3]]],
+    )
+    params = unet_init(jax.random.PRNGKey(1), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 16, 28, 32, 1),
+                           jnp.float32)
+    a = np.asarray(unet_apply(params, x, cfg, compute_dtype=jnp.float32)[0])
+    monkeypatch.setenv("BS_INT8", "0")
+    b = np.asarray(unet_apply(params, x, cfg, compute_dtype=jnp.float32)[0])
+    np.testing.assert_array_equal(a, b)
