@@ -78,6 +78,9 @@ def main():
         # adaptive slabs + optimization_barrier pinning per-slab
         # relayouts below the z slices (the 668-tile HBM fix)
         ("barrier", lambda: make(True), {"BS_SLAB_BARRIER": "1"}),
+        # dynamic int8 convs (ops/quant.py): 2x MXU peak if XLA maps
+        # s8 convs onto the int8 systolic path
+        ("int8", lambda: make(True), {"BS_INT8": "1"}),
     ]
     only = os.environ.get("BS_VARIANTS")
     if only:
