@@ -53,6 +53,18 @@ def setup_train(config_file: str, **overrides) -> dict:
 def run_training(config_file: str, **overrides) -> dict:
     import jax
 
+    if os.environ.get("BS_INT8") == "1":
+        # int8 convs are inference-only: round/clip have zero gradient,
+        # so a quantized train step would silently learn nothing.
+        # Disable for the duration of training, restore for any predict
+        # stage that follows in the same process.
+        logger.warning("BS_INT8=1 ignored during training (inference-only)")
+        os.environ["BS_INT8"] = "0"
+        try:
+            return run_training(config_file, **overrides)
+        finally:
+            os.environ["BS_INT8"] = "1"
+
     cfg = setup_train(config_file, **overrides)
     setup_dir = cfg["setup_dir"]
     setup_name = os.path.basename(os.path.normpath(setup_dir))

@@ -71,3 +71,47 @@ def test_int8_flag_off_is_bitwise_default(monkeypatch):
     monkeypatch.setenv("BS_INT8", "0")
     b = np.asarray(unet_apply(params, x, cfg, compute_dtype=jnp.float32)[0])
     np.testing.assert_array_equal(a, b)
+
+
+def test_training_ignores_int8(monkeypatch, tmp_path):
+    """BS_INT8 is inference-only: run_training disables it for the train
+    step (round/clip have zero gradient) and restores it afterwards so a
+    chained predict in the same process still quantizes."""
+    import os
+
+    from bootstrapper_tpu.models.zoo import write_net_config
+    from bootstrapper_tpu.utils import tomlio
+    from bootstrapper_tpu.workflows.train import run_training
+
+    setup_dir = str(tmp_path / "3d_affs_from_3d_lsd")
+    write_net_config("3d_affs_from_3d_lsd", setup_dir)
+    # shrink for CPU: tiny fmaps + shapes (synthetic refiner pipeline)
+    import json
+
+    ncp = os.path.join(setup_dir, "net_config.json")
+    nc = json.load(open(ncp))
+    nc.update(
+        num_fmaps=2, fmap_inc_factor=2, input_shape=[12, 48, 48],
+        output_shape=[4, 8, 8], shape_increase=[0, 0, 0],
+        downsample_factors=[[1, 2, 2]] * 2,
+        kernel_size_down=[
+            [[1, 3, 3], [1, 3, 3]],
+            [[3, 3, 3], [3, 3, 3]],
+            [[3, 3, 3], [3, 3, 3]],
+        ],
+        kernel_size_up=[[[1, 3, 3], [1, 3, 3]], [[1, 3, 3], [1, 3, 3]]],
+    )
+    json.dump(nc, open(ncp, "w"))
+    toml = str(tmp_path / "train.toml")
+    tomlio.dump({"train": {
+        "setup_dir": setup_dir, "voxel_size": [1, 1, 1],
+        "max_iterations": 2, "save_checkpoints_every": 2,
+        "save_snapshots_every": 0,
+    }}, toml)
+    monkeypatch.setenv("BS_INT8", "1")
+    res = run_training(toml)
+    assert os.environ["BS_INT8"] == "1"  # restored for chained predict
+    assert res["iterations"] >= 2
+    import numpy as np
+
+    assert np.isfinite(res["final_loss"])
