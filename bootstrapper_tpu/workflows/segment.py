@@ -21,6 +21,7 @@ from ..core.arrays import open_ds, prepare_ds
 from ..core.geometry import Roi
 from ..post.blockwise_seg import (
     _fmt_threshold,
+    cc_pipeline_blockwise,
     mws_pipeline_blockwise,
     waterz_pipeline_blockwise,
 )
@@ -144,11 +145,23 @@ def run_segmentation(
                     randomized_strides=params.get("randomized_strides", False),
                 )
                 results[volume_name] = segs
-            else:
-                raise NotImplementedError(
-                    "blockwise cc is not implemented (reference parity: "
-                    "connected_components.py:8-9)"
+            elif mode == "cc":
+                # beyond reference: the reference's blockwise cc raises
+                # NotImplementedError (connected_components.py:8-9)
+                segs = cc_pipeline_blockwise(
+                    affs_path,
+                    out_container,
+                    threshold=params.get("threshold", 0.5),
+                    remove_debris=params.get("remove_debris", 0),
+                    block_shape=tuple(cfg.get("block_shape", (32, 256, 256))),
+                    context_voxels=tuple(cfg.get("context", (2, 32, 32))),
+                    num_workers=cfg.get("num_workers", 8),
+                    roi=roi,
+                    **shard_kw,
                 )
+                results[volume_name] = segs
+            else:
+                raise ValueError(f"unknown segmentation mode {mode!r}")
         else:
             affs = open_ds(affs_path)
             a = affs.to_ndarray(roi) if roi else affs.to_ndarray()

@@ -282,3 +282,93 @@ def test_segment_cli_method_autodetect(tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert "mws" not in r.output
+
+
+def test_cc_blockwise_matches_in_memory(tmp_path):
+    """Blockwise cc (beyond reference: theirs raises NotImplementedError)
+    reproduces the in-memory cc partition exactly, including components
+    that span many blocks."""
+    from bootstrapper_tpu.post.blockwise_seg import cc_pipeline_blockwise
+    from bootstrapper_tpu.post.segment import cc_segmentation
+
+    rng = np.random.default_rng(3)
+    affs = rng.random((3, 10, 40, 40)).astype(np.float32)
+    affs[:, :, :, 19:21] *= 0.4  # a soft wall to vary component shapes
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/affs"), affs.shape, (0, 0, 0), (1, 1, 1),
+        np.float32,
+    )
+    ds[ds.roi] = affs
+
+    ref = cc_segmentation(affs, threshold=0.6)
+    segs = cc_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "v.zarr"),
+        threshold=0.6, block_shape=(4, 16, 16), context_voxels=(1, 2, 2),
+        num_workers=2,
+    )
+    out = open_ds(segs["cc"]).to_ndarray()
+    # identical partitions AND identical background
+    assert ((out == 0) == (ref == 0)).all()
+    from bootstrapper_tpu.eval.voi import rand_voi
+
+    scores = rand_voi(ref[ref > 0], out[ref > 0])
+    assert scores["voi_split"] + scores["voi_merge"] == pytest.approx(0.0)
+
+
+def test_cc_blockwise_sharded_workers(tmp_path):
+    """The cc pipeline under crash-isolated stride shards equals the
+    single-process result."""
+    from bootstrapper_tpu.post.blockwise_seg import cc_pipeline_blockwise
+
+    rng = np.random.default_rng(5)
+    affs = rng.random((3, 8, 24, 24)).astype(np.float32)
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/affs"), affs.shape, (0, 0, 0), (1, 1, 1),
+        np.float32,
+    )
+    ds[ds.roi] = affs
+    one = cc_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "one.zarr"),
+        threshold=0.5, block_shape=(4, 12, 12), context_voxels=(1, 2, 2),
+        num_workers=2,
+    )
+    two = cc_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "two.zarr"),
+        threshold=0.5, block_shape=(4, 12, 12), context_voxels=(1, 2, 2),
+        num_workers=1, workers=2,
+    )
+    a = open_ds(one["cc"]).to_ndarray()
+    b = open_ds(two["cc"]).to_ndarray()
+    assert ((a == 0) == (b == 0)).all()
+    if (a > 0).any():
+        from bootstrapper_tpu.eval.voi import rand_voi
+
+        scores = rand_voi(a[a > 0], b[a > 0])
+        assert scores["voi_split"] + scores["voi_merge"] == pytest.approx(0)
+
+
+def test_cc_blockwise_remove_debris(tmp_path):
+    """Blockwise remove_debris matches in-memory remove_small_segments."""
+    from bootstrapper_tpu.post.blockwise_seg import cc_pipeline_blockwise
+    from bootstrapper_tpu.post.segment import cc_segmentation
+
+    rng = np.random.default_rng(7)
+    affs = rng.random((3, 8, 24, 24)).astype(np.float32)
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/affs"), affs.shape, (0, 0, 0), (1, 1, 1),
+        np.float32,
+    )
+    ds[ds.roi] = affs
+    ref = cc_segmentation(affs, threshold=0.7, remove_debris=20)
+    segs = cc_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "v.zarr"),
+        threshold=0.7, remove_debris=20,
+        block_shape=(4, 12, 12), context_voxels=(1, 2, 2), num_workers=2,
+    )
+    out = open_ds(segs["cc"]).to_ndarray()
+    assert ((out == 0) == (ref == 0)).all()
+    if (ref > 0).any():
+        from bootstrapper_tpu.eval.voi import rand_voi
+
+        scores = rand_voi(ref[ref > 0], out[ref > 0])
+        assert scores["voi_split"] + scores["voi_merge"] == pytest.approx(0)
