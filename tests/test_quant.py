@@ -115,3 +115,47 @@ def test_training_ignores_int8(monkeypatch, tmp_path):
     import numpy as np
 
     assert np.isfinite(res["final_loss"])
+
+
+def test_int8_under_spatial_sharding(monkeypatch):
+    """BS_INT8 composes with the shard_map spatial predictor: per-shard
+    activation scales make each device's slab exactly the int8 result a
+    blockwise single-device prediction would produce on that slab."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_spatial_predict import _tiny_model
+
+    from bootstrapper_tpu.models import Model
+    from bootstrapper_tpu.predict.spatial import SpatialShardedPredictor
+
+    n_dev = 4
+    model = _tiny_model()
+    params = model.init(jax.random.PRNGKey(0))
+    monkeypatch.setenv("BS_INT8", "1")
+    sp = SpatialShardedPredictor(
+        model, params, (1, 1, 1), devices=jax.devices()[:n_dev],
+        shape_increase=[0, 104, 0], compute_dtype=jnp.float32,
+    )
+    x = jax.random.uniform(
+        jax.random.PRNGKey(1), (1, 12, sp.in_padded, 48, 1), jnp.float32
+    )
+    b = np.asarray(sp._forward(sp.params, x)["3d_affs"])
+
+    model_f32 = Model(model.net_config, compute_dtype=jnp.float32)
+    ref_params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(p, jnp.float32), params
+    )
+
+    @jax.jit
+    def plain(p, x):
+        return model_f32.apply(p, x)["3d_affs"]
+
+    own, L = sp.own_out, sp.own_out + 2 * 20
+    slabs = [
+        np.asarray(plain(ref_params, x[:, :, k * own : k * own + L]))
+        for k in range(n_dev)
+    ]
+    ref = np.concatenate(slabs, axis=2)
+    ref8 = np.round(np.clip(ref, 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(ref8, b)
