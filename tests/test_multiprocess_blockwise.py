@@ -398,3 +398,69 @@ def test_sharded_pipeline_with_dir_ledger(affs_zarr, single_run):
     s1 = open_ds(f"{root}/single.zarr/segmentations_ws/mean--0_5").to_ndarray()
     s2 = open_ds(f"{root}/dirled.zarr/segmentations_ws/mean--0_5").to_ndarray()
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_multihost_simulation_dirledger_pg(tmp_path, monkeypatch):
+    """The complete multi-host deployment story on one box: crash-
+    isolated worker processes that share ONLY a filesystem (DirLedger
+    marker files) and a database (PgRagDB via the psycopg2 shim) —
+    no SQLite WAL, no shared memory.  Output equals the single-process
+    SQLite run."""
+    import json
+
+    from bootstrapper_tpu.core.arrays import open_ds, prepare_ds
+    from bootstrapper_tpu.ops.affinities import seg_to_affs
+    from bootstrapper_tpu.post.blockwise_seg import waterz_pipeline_blockwise
+
+    # a psycopg2 alias module importable by the worker subprocesses
+    pypath = tmp_path / "pypath"
+    pypath.mkdir()
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    (pypath / "psycopg2.py").write_text(
+        "import os, sys\n"
+        f"sys.path.insert(0, {tests_dir!r})\n"
+        "import fake_psycopg2\n"
+        "fake_psycopg2.BASE_DIR = os.environ['FAKE_PG_DIR']\n"
+        "connect = fake_psycopg2.connect\n"
+    )
+    monkeypatch.setenv("FAKE_PG_DIR", str(tmp_path))
+    monkeypatch.setenv(
+        "PYTHONPATH",
+        str(pypath) + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+
+    seg = np.zeros((8, 32, 32), np.uint64)
+    seg[:, :16] = 1
+    seg[:, 16:] = 2
+    affs = (np.asarray(
+        seg_to_affs(seg, [[-1, 0, 0], [0, -1, 0], [0, 0, -1]])
+    ) * 255).astype(np.uint8)
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/affs"), affs.shape, (0, 0, 0), (1, 1, 1),
+        np.uint8,
+    )
+    ds[ds.roi] = affs
+    kw = dict(
+        block_shape=(4, 16, 16), context_voxels=(1, 4, 4),
+        thresholds=[0.5], filter_fragments=0.0, num_workers=2,
+    )
+    ref = waterz_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "ref.zarr"), **kw
+    )
+    got = waterz_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "mh.zarr"),
+        workers=2,
+        ledger=str(tmp_path / "mh.zarr/ledger.d"),
+        db={"db_name": "multihost", "db_host": "anywhere"},
+        **kw,
+    )
+    a = open_ds(ref[0.5]).to_ndarray()
+    b = open_ds(got[0.5]).to_ndarray()
+    # same partition (ids may differ)
+    from bootstrapper_tpu.eval.voi import rand_voi
+
+    scores = rand_voi(a, b)
+    assert scores["voi_split"] + scores["voi_merge"] == pytest.approx(0)
+    # the RAG really went through the pg backend, markers through the dir
+    assert (tmp_path / "fakepg_multihost.sqlite").exists()
+    assert (tmp_path / "mh.zarr/ledger.d").is_dir()
