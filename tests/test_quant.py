@@ -159,3 +159,44 @@ def test_int8_under_spatial_sharding(monkeypatch):
     ref = np.concatenate(slabs, axis=2)
     ref8 = np.round(np.clip(ref, 0, 1) * 255).astype(np.uint8)
     np.testing.assert_array_equal(ref8, b)
+
+
+def test_int8_through_predict_workflow(monkeypatch, tmp_path):
+    """BS_INT8 through the production tiled Predictor: uint8 outputs
+    stay within a few quantization steps of the bf16 run."""
+    import sys
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_predict import _tiny_3d_model
+
+    from bootstrapper_tpu.core.arrays import prepare_ds
+    from bootstrapper_tpu.predict.scan import (
+        Predictor,
+        prepare_prediction_outputs,
+    )
+
+    vs = (40, 4, 4)
+    shape = (16, 32, 32)
+    raw = prepare_ds(
+        str(tmp_path / "t.zarr/raw"), shape, (0, 0, 0), vs, np.uint8
+    )
+    rng = np.random.default_rng(0)
+    raw[raw.roi] = rng.integers(0, 255, shape, dtype=np.uint8)
+
+    model = _tiny_3d_model()
+    params = model.init(jax.random.PRNGKey(0))
+
+    def run():
+        pred = Predictor(model, params, vs, batch_tiles=2)
+        outs = prepare_prediction_outputs(
+            str(tmp_path / "t.zarr"), model, raw.roi, vs, predictor=pred
+        )
+        pred.predict(raw, outs)
+        return outs["3d_affs"].to_ndarray().astype(int)
+
+    ref = run()
+    monkeypatch.setenv("BS_INT8", "1")
+    got = run()
+    diff = np.abs(ref - got)
+    assert diff.mean() < 1.5
+    assert diff.max() <= 12  # isolated sigmoid-steep voxels
