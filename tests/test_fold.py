@@ -388,3 +388,33 @@ def test_unet_z_slab_auto_engages(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(auto[0]), np.asarray(ref[0]), rtol=0, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_unet_z_slab_fuzz_shapes(monkeypatch, seed):
+    """Randomised z-slab geometry fuzz: random eligible input shapes and
+    forced slab counts must stay exact vs the single-shot graph (bounds
+    bugs in the halo arithmetic show up as shape errors or mismatches)."""
+    rng = np.random.default_rng(seed)
+    z = int(rng.integers(24, 41))
+    y = 4 * int(rng.integers(12, 17))
+    x = 4 * int(rng.integers(12, 17))
+    slabs = int(rng.integers(2, 7))
+    cfg = small_cfg()
+    params = unet_init(jax.random.PRNGKey(seed), cfg)
+    xin = jax.random.normal(
+        jax.random.PRNGKey(seed + 100), (1, z, y, x, 1), jnp.float32
+    )
+    ref = unet_apply(params, xin, cfg, compute_dtype=jnp.float32)[0]
+    assert np.asarray(ref).size > 0
+    monkeypatch.setenv("BS_DECODE_Z_SLABS", str(slabs))
+    got = unet_apply(params, xin, cfg, compute_dtype=jnp.float32)[0]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=0, atol=2e-5
+    )
+    # barrier mode: same values
+    monkeypatch.setenv("BS_SLAB_BARRIER", "1")
+    got_b = unet_apply(params, xin, cfg, compute_dtype=jnp.float32)[0]
+    np.testing.assert_allclose(
+        np.asarray(got_b), np.asarray(ref), rtol=0, atol=2e-5
+    )
