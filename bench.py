@@ -87,7 +87,39 @@ def _measure(model, shape_increase, iters):
     return vox_per_sec, tflops, dt / iters * 1000, tile
 
 
+def _device_health_check(timeout_s: float = 300.0):
+    """Fail fast when the TPU relay is unreachable.
+
+    With the axon plugin registered by the image's sitecustomize,
+    jax.devices() HANGS FOREVER when the relay is down (even under
+    JAX_PLATFORMS=cpu) — a silent driver stall. Probe in a disposable
+    subprocess with a hard timeout and exit with one diagnostic JSON
+    line instead."""
+    import subprocess
+
+    try:
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); import jax.numpy as j; "
+             "float(j.ones((4,4)).sum())"],
+            timeout=timeout_s, capture_output=True,
+        ).returncode
+    except subprocess.TimeoutExpired:
+        rc = -1
+    if rc != 0:
+        print(json.dumps({
+            "metric": "3d_affs_inference_output_voxels_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "voxels/s",
+            "vs_baseline": 0.0,
+            "error": "TPU backend unreachable (device init failed or "
+                     f"hung >{timeout_s:.0f}s); relay down?",
+        }))
+        sys.exit(1)
+
+
 def main():
+    _device_health_check()
     from bootstrapper_tpu.models import Model
 
     model = Model.from_setup("3d_affs")
