@@ -390,11 +390,14 @@ def segment(config_file, modes, volume, param, roi_offset, roi_shape,
     from ..utils import tomlio
     from ..workflows.segment import run_segmentation
 
-    if not modes:
+    autodetected = not modes
+    if autodetected:
         cfg = tomlio.load(config_file)
         cfg = cfg.get("segment", cfg)
         tables = set()
-        for vol_cfg in cfg.values():
+        for vol_name, vol_cfg in cfg.items():
+            if volume is not None and vol_name != volume:
+                continue
             if isinstance(vol_cfg, dict):
                 tables |= {
                     m for m in ("ws", "mws", "cc")
@@ -409,6 +412,9 @@ def segment(config_file, modes, volume, param, roi_offset, roi_shape,
             roi_offset=roi_offset or None, roi_shape=roi_shape or None,
             blockwise=blockwise, num_workers=num_workers,
             block_shape=block_shape or None, context=block_context or None,
+            # auto-detected methods run only on volumes that configure
+            # them; explicit -m applies everywhere
+            require_params=autodetected and len(tables) > 0,
         )
         for vol, segs in result.items():
             for k, path in segs.items():

@@ -101,7 +101,9 @@ def extract_fragments_blockwise(
 
         read = block.read_roi
         a = affs.to_ndarray(read).astype(np.float32)
-        if a.max() > 1.5:
+        if np.issubdtype(affs.dtype, np.integer):
+            # dtype-keyed, not per-block max: a near-background uint8
+            # block (max 1 = p~0.004) must not be misread as normalized
             a = a / 255.0
         if method == "ws":
             # direct-neighbour channels only (reference watershed.py:69)
@@ -119,16 +121,30 @@ def extract_fragments_blockwise(
             # per-block connected components over hard direct-neighbour
             # affinities; cross-block hard links are restored by
             # cc_edges_blockwise + the union-find LUT stage.
-            # The read-ROI zero-padding at volume borders adds phantom
-            # *previous* voxels: an ON affinity stored at the first real
-            # slice would link into them and mark border voxels
-            # foreground, where the in-memory path drops edges that
-            # point outside the volume. Zero those channel slices.
+            # A processed-ROI boundary must behave like a volume
+            # boundary (in-memory parity on the same ROI): clear
+            # affinities outside ``total`` entirely, and clear channel c
+            # at the first in-ROI slice (those values encode edges to
+            # phantom/out-of-ROI *previous* voxels that the in-memory
+            # path drops).
+            lo = [
+                max(0, int((total.begin[d] - read.begin[d]) / vs[d]))
+                for d in range(3)
+            ]
+            hi = [
+                min(
+                    a.shape[1 + d],
+                    int((total.end[d] - read.begin[d]) / vs[d]),
+                )
+                for d in range(3)
+            ]
+            inside = np.zeros(a.shape[1:], bool)
+            inside[tuple(slice(l, h) for l, h in zip(lo, hi))] = True
+            a = np.where(inside[None], a, 0.0)
             for c in range(3):
-                if read.begin[c] < affs.roi.begin[c]:
-                    k = int((affs.roi.begin[c] - read.begin[c]) / vs[c])
+                if read.begin[c] < total.begin[c]:
                     sl = [slice(None)] * 3
-                    sl[c] = slice(k, k + 1)
+                    sl[c] = slice(lo[c], lo[c] + 1)
                     a[c][tuple(sl)] = 0
             frags = cc_from_affinities(a, threshold=cc_threshold)
         else:
@@ -246,7 +262,7 @@ def agglomerate_blockwise(
         if not frags.any():
             return "skipped"
         a = affs.to_ndarray(read)[:3].astype(np.float32)
-        if a.max() > 1.5:
+        if np.issubdtype(affs.dtype, np.integer):
             a = a / 255.0
         eu, ev, es, _ = native.agglomerate(
             frags, a, threshold=1.0, merge_function=merge_function
@@ -369,7 +385,7 @@ def cc_edges_blockwise(
         if not frags.any():
             return "skipped"
         a = affs.to_ndarray(read)[:3].astype(np.float32)
-        if a.max() > 1.5:
+        if np.issubdtype(affs.dtype, np.integer):
             a = a / 255.0
         pairs = []
         for c in range(3):
@@ -401,7 +417,9 @@ def cc_edges_blockwise(
         context_pos=context,
         process=process,
         fit="shrink",
-        read_write_conflict=True,
+        # no array writes — only idempotent score-0 RAG upserts — so no
+        # red-black serialisation is needed
+        read_write_conflict=False,
         num_workers=num_workers,
         block_stride=block_stride,
         block_offset=block_offset,
@@ -459,7 +477,11 @@ def cc_pipeline_blockwise(
 
     frag_path = f"{output_container}/fragments_cc"
     rag_path = f"{output_container}/rag_cc.db"
-    db_cfg = db or {"db_file": rag_path}
+    db_cfg = (
+        {"table_prefix": "rag_cc", **db}
+        if db
+        else {"db_file": rag_path}
+    )
     # Idempotent under crash-respawn of shard 0 (see waterz pipeline).
     setup_done = bool(led) and led.count_done("setup_cc", [0]) > 0
     if (not sharded or block_offset == 0) and not setup_done:
@@ -488,7 +510,7 @@ def cc_pipeline_blockwise(
         ledger=ledger, task_name="extract_fragments_cc",
     )
     cc_edges_blockwise(
-        affs, fragments, rag, block_shape, context_voxels,
+        affs, fragments, rag, block_shape, (1, 1, 1),
         threshold=threshold, num_workers=num_workers, roi=total,
         block_stride=block_stride, block_offset=block_offset,
         ledger=ledger,
@@ -730,8 +752,14 @@ def waterz_pipeline_blockwise(
     frag_path = f"{output_container}/fragments_ws"
     rag_path = f"{output_container}/rag_ws.db"
     # RAG backend: SQLite file by default; a db config with db_name/
-    # db_host routes to PostgreSQL (reference hglom/frags.py:208-233)
-    db_cfg = db or {"db_file": rag_path}
+    # db_host routes to PostgreSQL (reference hglom/frags.py:208-233).
+    # Per-method table prefix mirrors the per-method SQLite file names
+    # so ws/mws/cc in one database never drop each other's RAG.
+    db_cfg = (
+        {"table_prefix": "rag_ws", **db}
+        if db
+        else {"db_file": rag_path}
+    )
     # Setup must be idempotent under crash-respawn: a respawned shard 0
     # re-enters here after the ledger already recorded setup_ws, and
     # recreating the datasets/RAG (mode="w") would wipe blocks other
@@ -850,7 +878,11 @@ def mws_pipeline_blockwise(
 
     frag_path = f"{output_container}/fragments_mws"
     rag_path = f"{output_container}/rag_mws.db"
-    db_cfg = db or {"db_file": rag_path}
+    db_cfg = (
+        {"table_prefix": "rag_mws", **db}
+        if db
+        else {"db_file": rag_path}
+    )
     # Idempotent under crash-respawn of shard 0 (see waterz pipeline).
     setup_done = bool(led) and led.count_done("setup_mws", [0]) > 0
     if (not sharded or block_offset == 0) and not setup_done:

@@ -87,6 +87,11 @@ def run_filter(
                 cfg[k] = literal_eval(v)
             except (ValueError, SyntaxError):
                 cfg[k] = v
+        if ("roi_offset" in cfg) != ("roi_shape" in cfg):
+            raise ValueError(
+                "roi_offset and roi_shape must be given together "
+                f"(volume {volume_name!r})"
+            )
         err_mask = None
         if "seg_dataset" in cfg:
             seg_path = cfg["seg_dataset"]

@@ -59,6 +59,7 @@ def run_segmentation(
     num_workers: Optional[int] = None,
     block_shape=None,
     context=None,
+    require_params: bool = False,
 ) -> dict:
     """Kwargs override per-volume config values (reference
     ``segment.py:145-183`` CLI option surface)."""
@@ -67,6 +68,10 @@ def run_segmentation(
     results = {}
     for volume_name, cfg in cfg_all.items():
         if volume is not None and volume_name != volume:
+            continue
+        if require_params and cfg.get(f"{mode}_params") is None:
+            # auto-detected method: only run it on volumes that
+            # configured it (reference segment.py:199-213 semantics)
             continue
         cfg = dict(cfg)
         if (roi_offset is None) != (roi_shape is None):
@@ -86,13 +91,15 @@ def run_segmentation(
             cfg["context"] = list(context)
         params = get_seg_config(cfg, mode, param_overrides)
         affs_path = cfg["affs_dataset"]
-        blockwise = cfg.get("blockwise", False)
+        # local name: assigning to the ``blockwise`` parameter here would
+        # leak volume N's resolved value into volume N+1's override check
+        vol_blockwise = cfg.get("blockwise", False)
         out_container = os.path.dirname(cfg["seg_dataset_prefix"])
         roi = None
         if "roi_offset" in cfg:
             roi = Roi(cfg["roi_offset"], cfg["roi_shape"])
 
-        if blockwise:
+        if vol_blockwise:
             # multi-process scale-out: N crash-isolated subprocesses over
             # stride-shards of the block grid (daisy worker analog)
             workers = int(params.pop("workers", cfg.get("workers", 1)) or 1)

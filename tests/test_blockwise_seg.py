@@ -372,3 +372,174 @@ def test_cc_blockwise_remove_debris(tmp_path):
 
         scores = rand_voi(ref[ref > 0], out[ref > 0])
         assert scores["voi_split"] + scores["voi_merge"] == pytest.approx(0)
+
+
+def test_cc_blockwise_uint8_low_valued_block(tmp_path):
+    """Normalization is dtype-keyed, not per-block max: a uint8 block
+    whose max stored value is 1 (p~0.004) must stay background, not be
+    misread as already-normalized affinity 1.0."""
+    from bootstrapper_tpu.post.blockwise_seg import cc_pipeline_blockwise
+    from bootstrapper_tpu.post.segment import cc_segmentation
+
+    affs = np.zeros((3, 4, 16, 16), np.uint8)
+    affs[:, :, :8, :8] = 255          # one solid object
+    affs[:, :, 12:, 12:] = 1          # near-background corner, p~0.004
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/affs"), affs.shape, (0, 0, 0), (1, 1, 1),
+        np.uint8,
+    )
+    ds[ds.roi] = affs
+    ref = cc_segmentation(affs, threshold=0.5)
+    segs = cc_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "v.zarr"),
+        threshold=0.5, block_shape=(4, 8, 8), context_voxels=(1, 2, 2),
+        num_workers=2,
+    )
+    out = open_ds(segs["cc"]).to_ndarray()
+    assert ((out == 0) == (ref == 0)).all()
+    assert (out[:, 12:, 12:] == 0).all()
+
+
+def test_cc_blockwise_roi_restricted_matches_in_memory(tmp_path):
+    """A processed-ROI boundary behaves like a volume boundary: blockwise
+    cc on a sub-ROI equals in-memory cc of that sub-ROI's affinities."""
+    from bootstrapper_tpu.core.geometry import Roi
+    from bootstrapper_tpu.post.blockwise_seg import cc_pipeline_blockwise
+    from bootstrapper_tpu.post.segment import cc_segmentation
+
+    rng = np.random.default_rng(11)
+    affs = rng.random((3, 10, 32, 32)).astype(np.float32)
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/affs"), affs.shape, (0, 0, 0), (1, 1, 1),
+        np.float32,
+    )
+    ds[ds.roi] = affs
+    roi = Roi((2, 4, 4), (6, 24, 24))
+    ref = cc_segmentation(affs[:, 2:8, 4:28, 4:28], threshold=0.6)
+    segs = cc_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "v.zarr"),
+        threshold=0.6, block_shape=(3, 12, 12), context_voxels=(1, 2, 2),
+        num_workers=2, roi=roi,
+    )
+    out = open_ds(segs["cc"]).to_ndarray()
+    assert out.shape == ref.shape
+    assert ((out == 0) == (ref == 0)).all()
+    if (ref > 0).any():
+        from bootstrapper_tpu.eval.voi import rand_voi
+
+        scores = rand_voi(ref[ref > 0], out[ref > 0])
+        assert scores["voi_split"] + scores["voi_merge"] == pytest.approx(0)
+
+
+def test_pg_rag_per_method_table_prefix(monkeypatch, tmp_path):
+    """ws and cc against ONE PostgreSQL database keep separate tables:
+    the second method's setup must not drop the first's RAG."""
+    from bootstrapper_tpu.post.blockwise_seg import (
+        cc_pipeline_blockwise,
+        waterz_pipeline_blockwise,
+    )
+    from bootstrapper_tpu.post.rag import PgRagDB
+
+    _install_fake_pg(monkeypatch, tmp_path)
+    gt = _gt_volume()
+    affs_path = _write_affs(tmp_path, gt)
+    db = {"db_name": "shared", "db_host": "x"}
+    waterz_pipeline_blockwise(
+        affs_path, str(tmp_path / "ws.zarr"),
+        block_shape=(8, 24, 24), context_voxels=(2, 6, 6),
+        thresholds=[0.5], filter_fragments=0.0, num_workers=2, db=db,
+    )
+    ws_counts = PgRagDB(
+        {"dbname": "shared"}, mode="r+", table_prefix="rag_ws"
+    ).counts()
+    assert ws_counts[0] > 0
+    cc_pipeline_blockwise(
+        affs_path, str(tmp_path / "cc.zarr"),
+        threshold=0.5, block_shape=(8, 24, 24),
+        context_voxels=(2, 6, 6), num_workers=2, db=db,
+    )
+    # ws RAG untouched by cc's mode='w' setup
+    assert PgRagDB(
+        {"dbname": "shared"}, mode="r+", table_prefix="rag_ws"
+    ).counts() == ws_counts
+
+
+def test_segment_autodetect_is_per_volume(tmp_path):
+    """Auto-detected methods run only on the volumes that configure
+    them; -v restricts detection to that volume."""
+    from click.testing import CliRunner
+
+    from bootstrapper_tpu.cli.main import cli
+    from bootstrapper_tpu.utils import tomlio
+
+    gt = _gt_volume()
+    affs_path = _write_affs(tmp_path, gt)
+    tomlio.dump(
+        {"segment": {
+            "vol_a": {
+                "affs_dataset": affs_path,
+                "seg_dataset_prefix": str(tmp_path / "a.zarr/segmentations"),
+                "ws_params": {"thresholds": [0.5]},
+            },
+            "vol_b": {
+                "affs_dataset": affs_path,
+                "seg_dataset_prefix": str(tmp_path / "b.zarr/segmentations"),
+                "mws_params": {
+                    "neighborhood": [[-1, 0, 0], [0, -1, 0], [0, 0, -1]],
+                    "bias": [-0.5, -0.5, -0.5],
+                },
+            },
+        }},
+        str(tmp_path / "seg.toml"),
+    )
+    r = CliRunner().invoke(cli, ["segment", str(tmp_path / "seg.toml")])
+    assert r.exit_code == 0, r.output
+    # vol_a ran ws only, vol_b ran mws only
+    assert "vol_a [0.5]" in r.output or "vol_a" in r.output
+    import glob as _glob
+
+    # in-memory outputs live under the per-volume seg prefix
+    a_out = _glob.glob(str(tmp_path / "a.zarr/segmentations/*"))
+    b_out = _glob.glob(str(tmp_path / "b.zarr/segmentations/*"))
+    assert a_out and all("mws" not in p for p in a_out), a_out
+    assert b_out and all("mws" in p for p in b_out), b_out
+    # -v vol_a: only ws detected, mws never runs anywhere
+    r = CliRunner().invoke(
+        cli, ["segment", str(tmp_path / "seg.toml"), "-v", "vol_a"]
+    )
+    assert r.exit_code == 0, r.output
+    assert "mws" not in r.output
+
+
+def test_multi_volume_blockwise_not_shadowed(tmp_path):
+    """Volume N's resolved blockwise value must not leak into volume
+    N+1: vol_1 in-memory, vol_2 blockwise=true in one config."""
+    from bootstrapper_tpu.utils import tomlio
+    from bootstrapper_tpu.workflows.segment import run_segmentation
+
+    gt = _gt_volume()
+    affs_path = _write_affs(tmp_path, gt)
+    tomlio.dump(
+        {"segment": {
+            "vol_1": {
+                "affs_dataset": affs_path,
+                "seg_dataset_prefix": str(tmp_path / "m1.zarr/segmentations"),
+                "ws_params": {"thresholds": [0.5]},
+            },
+            "vol_2": {
+                "affs_dataset": affs_path,
+                "seg_dataset_prefix": str(tmp_path / "m2.zarr/segmentations"),
+                "blockwise": True,
+                "block_shape": [8, 24, 24],
+                "context": [2, 6, 6],
+                "ws_params": {"thresholds": [0.5], "filter_fragments": 0.0},
+            },
+        }},
+        str(tmp_path / "seg.toml"),
+    )
+    run_segmentation(str(tmp_path / "seg.toml"), mode="ws")
+    import os as _os
+
+    # vol_2 really went blockwise (fragments dataset is blockwise-only)
+    assert _os.path.exists(str(tmp_path / "m2.zarr/fragments_ws"))
+    assert not _os.path.exists(str(tmp_path / "m1.zarr/fragments_ws"))
