@@ -95,9 +95,11 @@ def compute_lsd_errors(
         # has the same static shape (one XLA compile)
         rroi = wroi.grow(context, context)
         seg_block = renumber(seg.to_ndarray(rroi), max_labels=MAX_LABELS)
-        pred = pred_lsds.to_ndarray(rroi).astype(np.float32)
-        if pred.max() > 1.5:
-            pred = pred / 255.0
+        pred = pred_lsds.to_ndarray(rroi)
+        if np.issubdtype(pred.dtype, np.integer):
+            pred = pred.astype(np.float32) / 255.0
+        else:
+            pred = pred.astype(np.float32)
         err = np.asarray(block_error(seg_block, pred))
         err_full, mask_full = _error_from_diff(err, pred.shape[0], thresholds)
         core = tuple(
@@ -169,9 +171,11 @@ def compute_aff_errors(
     for wroi in tile_rois(roi, block_size):
         rroi = wroi.grow(pad, pad)
         seg_block = seg.to_ndarray(rroi).astype(np.int64)
-        pred = pred_affs.to_ndarray(rroi)[:n_ch].astype(np.float32)
-        if pred.max() > 1.5:
-            pred = pred / 255.0
+        pred = pred_affs.to_ndarray(rroi)[:n_ch]
+        if np.issubdtype(pred.dtype, np.integer):
+            pred = pred.astype(np.float32) / 255.0
+        else:
+            pred = pred.astype(np.float32)
         err = np.asarray(block_error(seg_block, pred))
         err_full, mask_full = _error_from_diff(err, n_ch, thresholds)
         core = tuple(

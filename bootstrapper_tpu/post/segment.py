@@ -57,8 +57,10 @@ def waterz_segmentation(
     return_fragments: bool = False,
 ):
     """Watershed fragments + hierarchical agglomeration threshold sweep."""
+    integer_scaled = np.issubdtype(np.asarray(affs).dtype, np.integer)
     affs = np.asarray(affs, np.float32)
-    if affs.max() > 1.5:  # uint8-scaled predictions
+    if integer_scaled:  # uint8-scaled predictions (dtype-keyed: a
+        # near-background volume must not be misread as normalized)
         affs = affs / 255.0
     # only the direct-neighbour channels drive watershed + agglomeration
     # (reference ``post/watershed.py:69``: affs[:3])
@@ -92,8 +94,9 @@ def mws_segmentation(
 ) -> np.ndarray:
     """Mutex-watershed segmentation (the reference's ``mws`` mode with
     its 9-offset neighborhood + bias defaults, ``segment.py:26-55``)."""
+    integer_scaled = np.issubdtype(np.asarray(affs).dtype, np.integer)
     affs = np.asarray(affs, np.float32)
-    if affs.max() > 1.5:
+    if integer_scaled:
         affs = affs / 255.0
     seg = mutex_watershed_from_affinities(
         affs,
@@ -114,8 +117,9 @@ def cc_segmentation(
 ) -> np.ndarray:
     """Thresholded-affinity connected components (the reference's ``cc``
     mode)."""
+    integer_scaled = np.issubdtype(np.asarray(affs).dtype, np.integer)
     affs = np.asarray(affs, np.float32)
-    if affs.max() > 1.5:
+    if integer_scaled:
         affs = affs / 255.0
     seg = cc_from_affinities(affs, threshold)
     if remove_debris:

@@ -51,9 +51,11 @@ class ProofreadSession:
 
     def _boundary_landscape(self, roi: Roi, two_d: bool):
         if self.affs is not None:
-            a = self.affs.to_ndarray(roi).astype(np.float32)
-            if a.max() > 1.5:
-                a /= 255.0
+            a = self.affs.to_ndarray(roi)
+            if np.issubdtype(a.dtype, np.integer):
+                a = a.astype(np.float32) / 255.0
+            else:
+                a = a.astype(np.float32)
             # lateral (y/x) affinity mean: including the z channel washes
             # out section boundaries when z-affinities stay high
             mean_affs = 0.5 * (a[-1] + a[-2])
