@@ -82,7 +82,7 @@ def seed_maxima(dist, boundary_mask, size: int = 10, interpret: bool = False):
     of ``dist``.  dist: (H, W) float32; boundary_mask: (H, W) {0,1}."""
     H, W = dist.shape
     kernel = functools.partial(_seed_kernel, size=size)
-    space = pltpu.ANY if interpret else pltpu.VMEM
+    space = pl.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.uint8),
@@ -104,7 +104,7 @@ def seed_maxima_3d(
     resident in VMEM (the production ``fragments_in_xy`` path)."""
     Z, H, W = dist.shape
     kernel = functools.partial(_seed_kernel, size=size)
-    space = pltpu.ANY if interpret else pltpu.VMEM
+    space = pl.ANY if interpret else pltpu.VMEM
     spec = pl.BlockSpec(
         (1, H, W), lambda z: (z, 0, 0), memory_space=space
     )
