@@ -46,8 +46,11 @@ def _measure(model, shape_increase, iters):
         return model.apply(params, x)["3d_affs"]
 
     # distinct random inputs per iteration: repeated identical
-    # executions can be deduplicated upstream and report fantasy numbers
-    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    # executions can be deduplicated upstream and report fantasy numbers.
+    # Two (not more) resident inputs: the headline tile's temp arena is
+    # within ~1 GB of the 16 GB HBM, so every extra resident 88 MB input
+    # turns a clean run into a flaky RESOURCE_EXHAUSTED.
+    keys = jax.random.split(jax.random.PRNGKey(1), 2)
     xs = [
         jax.random.uniform(k, (1, *input_shape, 1), jnp.bfloat16) for k in keys
     ]
@@ -97,15 +100,24 @@ def _device_health_check(timeout_s: float = 300.0):
     line instead."""
     import subprocess
 
-    try:
-        rc = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); import jax.numpy as j; "
-             "float(j.ones((4,4)).sum())"],
-            timeout=timeout_s, capture_output=True,
-        ).returncode
-    except subprocess.TimeoutExpired:
-        rc = -1
+    # Two attempts: a single probe can stall transiently right after a
+    # heavy job releases the chip (observed: first probe hung >300 s,
+    # a retry two minutes later answered in seconds). Only a repeated
+    # failure means the relay is actually down.
+    rc = -1
+    for _ in range(2):
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); import jax.numpy as j; "
+                 "float(j.ones((4,4)).sum())"],
+                timeout=timeout_s, capture_output=True,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            break
+        time.sleep(30)
     if rc != 0:
         print(json.dumps({
             "metric": "3d_affs_inference_output_voxels_per_sec_per_chip",
@@ -120,6 +132,13 @@ def _device_health_check(timeout_s: float = 300.0):
 
 def main():
     _device_health_check()
+    # Pin per-slab relayouts below the z slices (BS_SLAB_BARRIER,
+    # models/unet.py): measured 12.53 vs 12.59 Mvox/s for the unpinned
+    # graph at the headline tile (-0.5%), but the temp arena drops from
+    # 16.29 GB -> 12.23 GB. The unpinned graph sits within ~300 MB of
+    # the HBM ceiling and OOMs or passes depending on what else is
+    # resident — not acceptable for the one run the driver records.
+    os.environ.setdefault("BS_SLAB_BARRIER", "1")
     from bootstrapper_tpu.models import Model
 
     model = Model.from_setup("3d_affs")
