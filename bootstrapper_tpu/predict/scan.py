@@ -229,15 +229,10 @@ class Predictor:
         _threading.Thread(target=_reader, daemon=True).start()
 
         write_futures = []
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            batch_tiles, arrs = item
-            x = jnp.asarray(arrs)
-            outs = self._forward(self.params, x)
+
+        def drain(batch_tiles, outs):
+            # blocking device->host fetch happens here, one batch behind
+            # the batch currently executing on device
             outs = {k: np.asarray(v) for k, v in outs.items()}
             for j, wroi in enumerate(batch_tiles):
                 for name, arr in outputs.items():
@@ -260,6 +255,27 @@ class Predictor:
                     # async TensorStore write; futures drained at the end
                     ssl = (slice(None),) + arr._spatial_slices(dest_roi)
                     write_futures.append(arr.store[ssl].write(data))
+
+        # one-deep pipeline: dispatch batch i+1 to the device before
+        # fetching batch i's outputs, so device compute overlaps the
+        # previous batch's device->host transfer + host slicing/writes
+        # (over the TPU relay the fetch is a multi-hundred-MB round
+        # trip). Peak device memory grows by one uint8 output set.
+        pending = None
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            batch_tiles, arrs = item
+            x = jnp.asarray(arrs)
+            outs = self._forward(self.params, x)
+            if pending is not None:
+                drain(*pending)
+            pending = (batch_tiles, outs)
+        if pending is not None:
+            drain(*pending)
         for f in write_futures:
             f.result()
         dt = time.perf_counter() - t0
