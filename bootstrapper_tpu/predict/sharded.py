@@ -158,15 +158,10 @@ class ShardedPredictor:
         _threading.Thread(target=_reader, daemon=True).start()
 
         write_futures = []
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            batch_tiles, arrs = item
-            x = jax.device_put(jnp.asarray(arrs), self.in_sharding)
-            outs = self._forward(self.params, x)
+
+        def drain(batch_tiles, outs):
+            # blocking device->host fetch, one batch behind the batch
+            # executing on the mesh (same pipeline as Predictor.predict)
             outs = {k: np.asarray(v) for k, v in outs.items()}
             for j, wroi in enumerate(batch_tiles):
                 for name, arr in outputs.items():
@@ -187,6 +182,22 @@ class ShardedPredictor:
                     )
                     ssl = (slice(None),) + arr._spatial_slices(dest)
                     write_futures.append(arr.store[ssl].write(data))
+
+        pending = None
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            batch_tiles, arrs = item
+            x = jax.device_put(jnp.asarray(arrs), self.in_sharding)
+            outs = self._forward(self.params, x)
+            if pending is not None:
+                drain(*pending)
+            pending = (batch_tiles, outs)
+        if pending is not None:
+            drain(*pending)
         for f in write_futures:
             f.result()
         dt = time.perf_counter() - t0
