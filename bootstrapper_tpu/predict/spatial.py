@@ -341,15 +341,11 @@ class SpatialShardedPredictor:
         _threading.Thread(target=_reader, daemon=True).start()
 
         write_futures = []
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            wroi, arr_np = item
-            x = jax.device_put(jnp.asarray(arr_np), self.in_sharding)
-            outs = self._forward(self.params, x)
+
+        def drain(wroi, outs):
+            # blocking device->host fetch, one tile behind the tile
+            # executing on the mesh (one extra uint8 output set stays
+            # sharded on device — small next to the activation arena)
             outs = {k: np.asarray(v) for k, v in outs.items()}
             for name, arr in outputs.items():
                 pred = np.moveaxis(outs[name][0], -1, 0)
@@ -367,6 +363,22 @@ class SpatialShardedPredictor:
                 data = np.ascontiguousarray(pred[(slice(None),) + sl][:dims])
                 ssl = (slice(None),) + arr._spatial_slices(dest)
                 write_futures.append(arr.store[ssl].write(data))
+
+        pending = None
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, Exception):
+                raise item
+            wroi, arr_np = item
+            x = jax.device_put(jnp.asarray(arr_np), self.in_sharding)
+            outs = self._forward(self.params, x)
+            if pending is not None:
+                drain(*pending)
+            pending = (wroi, outs)
+        if pending is not None:
+            drain(*pending)
         for f in write_futures:
             f.result()
         dt = time.perf_counter() - t0
