@@ -132,13 +132,10 @@ def _device_health_check(timeout_s: float = 300.0):
 
 def main():
     _device_health_check()
-    # Pin per-slab relayouts below the z slices (BS_SLAB_BARRIER,
-    # models/unet.py): measured 12.53 vs 12.59 Mvox/s for the unpinned
-    # graph at the headline tile (-0.5%), but the temp arena drops from
-    # 16.29 GB -> 12.23 GB. The unpinned graph sits within ~300 MB of
-    # the HBM ceiling and OOMs or passes depending on what else is
-    # resident — not acceptable for the one run the driver records.
-    os.environ.setdefault("BS_SLAB_BARRIER", "1")
+    # BS_SLAB_BARRIER defaults ON in models/unet.py: the unpinned graph
+    # at the headline tile is +0.5% throughput but sits ~300 MB from the
+    # HBM ceiling and OOMs or passes depending on what else is resident —
+    # not acceptable for the one run the driver records.
     from bootstrapper_tpu.models import Model
 
     model = Model.from_setup("3d_affs")

@@ -512,9 +512,12 @@ def _z_slab_decode(f_left, g, i, cfg, crop_factors, decode_fn):
     # level-2 buffers in the (152,668,668) OOM dump.  An
     # optimization_barrier on each slab's inputs pins the slice below
     # the copy so the relayout happens per slab.  Costs halo-sized
-    # recompute of the copies; only worth it when memory is the binding
-    # constraint, so off unless $BS_SLAB_BARRIER=1.
-    barrier = os.environ.get("BS_SLAB_BARRIER", "0") == "1"
+    # recompute of the copies — measured -0.5% throughput at the
+    # (152,540,540) tile for a 16.29->12.23 GB temp-arena drop.  Slabs
+    # only engage when memory binds, so the barrier defaults ON (the
+    # unpinned graph's 0.5% is not worth flaky OOM near the ceiling);
+    # $BS_SLAB_BARRIER=0 restores the unpinned graph.
+    barrier = os.environ.get("BS_SLAB_BARRIER", "1") == "1"
     bounds = [round(s * out_z / n) for s in range(n + 1)]
     outs = []
     for a, b in zip(bounds[:-1], bounds[1:]):

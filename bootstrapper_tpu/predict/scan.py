@@ -37,7 +37,7 @@ from ..train.sampler import normalize_raw
 def auto_shape_increase(
     net_config: dict,
     volume_vox_shape,
-    max_input_voxels: int = 16_000_000,
+    max_input_voxels: int = 45_000_000,
 ) -> list:
     """Pick a shape_increase maximising output voxels per FLOP.
 
@@ -46,7 +46,10 @@ def auto_shape_increase(
     z-context dominates: e.g. 28 of 32 input slices are context for 4
     output slices in the 3d_affs config), then y/x in steps of the
     pooling factor product; stay inside the volume and the input-voxel
-    budget (~16M voxels measured near-optimal on v5e).
+    budget. The 45M budget tracks the measured HBM model of the
+    slab-barrier graph (~0.28 GB temp arena per M input voxels on a
+    16 GB v5e; the measured-best (152,540,540) tile is 44.3M and runs
+    at a 12.2 GB arena — see BASELINE.md round-3 A/B).
     """
     base_in = list(net_config["input_shape"])
     base_out = list(net_config["output_shape"])
@@ -72,11 +75,13 @@ def auto_shape_increase(
             and input_voxels(inc) <= max_input_voxels
         )
 
-    # grow z (any integer step is conv-valid when z isn't pooled)
+    # grow z (any integer step is conv-valid when z isn't pooled);
+    # 124 output slices = the measured-best headline tile's z — taller
+    # measured no better ((168/184,540,540) A/B, BASELINE.md)
     z_step = step[0]
     while True:
         cand = [inc[0] + max(z_step, 4), inc[1], inc[2]]
-        if base_out[0] + cand[0] > 64 or not fits(cand):
+        if base_out[0] + cand[0] > 124 or not fits(cand):
             break
         inc = cand
     # grow y and x together in pooling-product steps

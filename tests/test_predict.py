@@ -143,13 +143,15 @@ def test_auto_shape_increase():
     from bootstrapper_tpu.predict.scan import auto_shape_increase
 
     nc = Model.from_setup("3d_affs").net_config
-    # big volume: z grows to 64 output slices, y/x grow to the budget
+    # big volume: z grows to 124 output slices, y/x grow to the budget —
+    # the auto tile must land on the measured-best (152,540,540) class
     inc = auto_shape_increase(nc, (200, 2000, 2000))
     in_shape = [a + b for a, b in zip(nc["input_shape"], inc)]
     out_shape = [a + b for a, b in zip(nc["output_shape"], inc)]
-    assert out_shape[0] == 64
+    assert out_shape[0] == 124
     import numpy as np
-    assert np.prod(in_shape) <= 16_000_000
+    assert np.prod(in_shape) <= 45_000_000
+    assert in_shape == [152, 540, 540]
     # the chosen shape must be conv-valid
     from bootstrapper_tpu.models import Model as M
     from bootstrapper_tpu.models.unet import compute_output_shape

@@ -80,8 +80,10 @@ def main():
         ("slab4", lambda: make(True), {"BS_DECODE_Z_SLABS": "4"}),
         ("slab2", lambda: make(True), {"BS_DECODE_Z_SLABS": "2"}),
         # adaptive slabs + optimization_barrier pinning per-slab
-        # relayouts below the z slices (the 668-tile HBM fix)
+        # relayouts below the z slices — the default since round 3;
+        # 'nobarrier' is the unpinned (round-2 'auto') graph
         ("barrier", lambda: make(True), {"BS_SLAB_BARRIER": "1"}),
+        ("nobarrier", lambda: make(True), {"BS_SLAB_BARRIER": "0"}),
         # dynamic int8 convs (ops/quant.py): 2x MXU peak if XLA maps
         # s8 convs onto the int8 systolic path
         ("int8", lambda: make(True), {"BS_INT8": "1"}),
