@@ -57,9 +57,9 @@ def unfold(xf):
     return v.transpose(0, 1, 2, 4, 3, 5, 6).reshape(n, d, 2 * hf, 2 * wf, c)
 
 
-def fold_conv_weights(w, b):
-    """Transform (kz, ky, kx, ci, co) valid-conv weights into their folded
-    equivalent (kz, ky//2+1, kx//2+1, 4*ci, 4*co); bias tiles phase-major."""
+def _fold_w_only(w):
+    """(kz, ky, kx, ci, co) valid-conv weights -> folded equivalent
+    (kz, ky//2+1, kx//2+1, 4*ci, 4*co)."""
     kz, ky, kx, ci, co = w.shape
     qy_n, qx_n = ky // 2 + 1, kx // 2 + 1
     wf = jnp.zeros((kz, qy_n, qx_n, 4, ci, 4, co), w.dtype)
@@ -72,16 +72,46 @@ def fold_conv_weights(w, b):
                     wf = wf.at[:, qy, qx, ry * 2 + rx, :, py * 2 + px, :].set(
                         w[:, iy, ix]
                     )
-    wf = wf.reshape(kz, qy_n, qx_n, 4 * ci, 4 * co)
-    bf = jnp.tile(b, 4)
-    return wf, bf
+    return wf.reshape(kz, qy_n, qx_n, 4 * ci, 4 * co)
 
 
-def folded_conv(xf, w, b, *, compute_dtype=jnp.bfloat16):
-    """Valid conv on a folded array using ORIGINAL (unfolded) weights."""
+def fold_conv_weights(w, b):
+    """Transform (kz, ky, kx, ci, co) valid-conv weights into their folded
+    equivalent (kz, ky//2+1, kx//2+1, 4*ci, 4*co); bias tiles phase-major."""
+    return _fold_w_only(w), jnp.tile(b, 4)
+
+
+def fold_w(layer, off: int = 0, c=None):
+    """Folded weights for ``layer['w'][..., off:off+c, :]``.
+
+    Consults the layer's prefolded cache (see ``prefold_conv_pass``) so
+    the ~7x-sized folded kernel is built ONCE per checkpoint load
+    instead of inside every jitted forward call — the per-call
+    select/bitcast weight-formatting fusions diagnosed in BASELINE.md.
+    On a miss the transform runs in-graph; either way the values are
+    bit-identical (same ops on the same weights)."""
+    w = layer["w"]
+    if c is None:
+        c = w.shape[3] - off
+    pf = layer.get(f"_pf:{off}:{c}")
+    if pf is not None:
+        return pf
+    if (off, c) != (0, w.shape[3]):
+        w = w[..., off : off + c, :]
+    return _fold_w_only(w)
+
+
+def folded_conv(xf, w=None, b=None, *, layer=None, compute_dtype=jnp.bfloat16):
+    """Valid conv on a folded array using ORIGINAL (unfolded) weights.
+
+    Pass ``layer`` (a {'w','b'} dict, possibly with prefolded entries)
+    from model code; the (w, b) form is kept for tests/probes."""
     from ..ops import quant
 
-    wf, bf = fold_conv_weights(w, b)
+    if layer is not None:
+        wf, bf = fold_w(layer), jnp.tile(layer["b"], 4)
+    else:
+        wf, bf = fold_conv_weights(w, b)
     if quant.int8_enabled():
         y = quant.qconv(xf, wf, out_dtype=compute_dtype)
         return y + bf.astype(compute_dtype)
@@ -95,7 +125,7 @@ def folded_conv(xf, w, b, *, compute_dtype=jnp.bfloat16):
     return y + bf.astype(compute_dtype)
 
 
-def folded_conv_split(xfs, w, b, *, compute_dtype=jnp.bfloat16):
+def folded_conv_split(xfs, layer, *, compute_dtype=jnp.bfloat16):
     """Folded conv over an implicit channel concat of folded arrays:
     original weights are split by each input's (unfolded) channel count,
     folded separately, and the partial convs summed — the wide folded
@@ -107,7 +137,7 @@ def folded_conv_split(xfs, w, b, *, compute_dtype=jnp.bfloat16):
     y = None
     for xf in xfs:
         c = xf.shape[-1] // 4
-        wf, _ = fold_conv_weights(w[..., off : off + c, :], b)
+        wf = fold_w(layer, off, c)
         if q8:
             part = quant.qconv(xf, wf, out_dtype=compute_dtype)
         else:
@@ -120,7 +150,7 @@ def folded_conv_split(xfs, w, b, *, compute_dtype=jnp.bfloat16):
             )
         y = part if y is None else y + part
         off += c
-    return y + jnp.tile(b, 4).astype(compute_dtype)
+    return y + jnp.tile(layer["b"], 4).astype(compute_dtype)
 
 
 def folded_spatial(xf) -> tuple:
@@ -215,7 +245,41 @@ def folded_upsample_linear(g):
     return out.reshape(n, d, h, w, 4 * c).astype(g.dtype)
 
 
-def composite_up_kernels(w, c0y: int, c0x: int):
+def _axis_taps(c0, p, k):
+    """Half-res tap positions for output phase ``p`` of a k-tap conv
+    composed with the 2-tap half-pixel blend at crop offset ``c0``:
+    {position: [(orig_tap_index, blend_coef), ...]}.
+
+    Adding 2 to ``c0`` shifts every position by 1 and changes nothing
+    else, so the *re-based* taps (hence the composite kernel values)
+    depend only on ``c0 % 2``."""
+    taps = {}
+    for i in range(k):
+        eb, q = divmod(c0 + p + i, 2)
+        pairs = [(0, 0.25), (1, 0.75)] if q == 0 else [(1, 0.75), (2, 0.25)]
+        for d, coef in pairs:
+            taps.setdefault(eb + d, []).append((i, coef))
+    return taps
+
+
+def _build_up_kernel(w, ytaps, by, xtaps, bx):
+    """Composite kernel array for one output phase from its tap maps."""
+    kz, ky, kx, ci, co = w.shape
+    ty = max(ytaps) - by + 1
+    tx = max(xtaps) - bx + 1
+    k = jnp.zeros((kz, ty, tx, ci, co), w.dtype)
+    for posy, ylist in ytaps.items():
+        for posx, xlist in xtaps.items():
+            acc = None
+            for iy, cy in ylist:
+                for ix, cx in xlist:
+                    term = (cy * cx) * w[:, iy, ix]
+                    acc = term if acc is None else acc + term
+            k = k.at[:, posy - by, posx - bx].add(acc)
+    return k
+
+
+def composite_up_kernels(w, c0y: int, c0x: int, layer=None, off: int = 0):
     """Fuse (1,2,2) linear upsample + crop offset + valid conv into four
     per-output-phase kernels over the *edge-padded half-resolution*
     input.
@@ -226,40 +290,34 @@ def composite_up_kernels(w, c0y: int, c0x: int):
     and the upsampled tensor never materialises.
 
     w: (kz, ky, kx, ci, co).  Returns [((py,px), kernel, (by, bx))] where
-    ``kernel`` convolves gp = pad(g, 1, edge) sliced from (by, bx)."""
+    ``kernel`` convolves gp = pad(g, 1, edge) sliced from (by, bx).
+
+    With ``layer``/``off``, prefolded kernels (``prefold_conv_pass``)
+    are used when present — kernel values depend only on the crop-offset
+    *parities*, so the cache is keyed by (off, c, c0y%2, c0x%2, phase)
+    and the slice bases are re-derived here."""
     kz, ky, kx, ci, co = w.shape
-
-    def axis_taps(c0, p, k):
-        taps = {}
-        for i in range(k):
-            eb, q = divmod(c0 + p + i, 2)
-            pairs = [(0, 0.25), (1, 0.75)] if q == 0 else [(1, 0.75), (2, 0.25)]
-            for d, coef in pairs:
-                taps.setdefault(eb + d, []).append((i, coef))
-        return taps
-
     out = []
     for py in range(2):
-        ytaps = axis_taps(c0y, py, ky)
-        by, ty = min(ytaps), max(ytaps) - min(ytaps) + 1
+        ytaps = _axis_taps(c0y, py, ky)
+        by = min(ytaps)
         for px in range(2):
-            xtaps = axis_taps(c0x, px, kx)
-            bx, tx = min(xtaps), max(xtaps) - min(xtaps) + 1
-            k = jnp.zeros((kz, ty, tx, ci, co), w.dtype)
-            for posy, ylist in ytaps.items():
-                for posx, xlist in xtaps.items():
-                    acc = None
-                    for iy, cy in ylist:
-                        for ix, cx in xlist:
-                            term = (cy * cx) * w[:, iy, ix]
-                            acc = term if acc is None else acc + term
-                    k = k.at[:, posy - by, posx - bx].add(acc)
-            out.append(((py, px), k, (by, bx)))
+            xtaps = _axis_taps(c0x, px, kx)
+            bx = min(xtaps)
+            kern = None
+            if layer is not None:
+                kern = layer.get(
+                    f"_pfu:{off}:{ci}:{c0y % 2}{c0x % 2}:{py}{px}"
+                )
+            if kern is None:
+                kern = _build_up_kernel(w, ytaps, by, xtaps, bx)
+            out.append(((py, px), kern, (by, bx)))
     return out
 
 
 def lazy_upsample_conv(
-    g, w, crop_offsets, target, *, compute_dtype=jnp.bfloat16
+    g, w, crop_offsets, target, *, layer=None, off=0,
+    compute_dtype=jnp.bfloat16
 ):
     """g-side of a decoder conv layer without materialising the
     upsample: equivalent to ``conv_valid(crop(upsample_linear_122(g)),
@@ -275,7 +333,9 @@ def lazy_upsample_conv(
     gp = jnp.pad(g, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     gp = gp[:, c0z : c0z + tz]
     phases = []
-    for (_, kern, (by, bx)) in composite_up_kernels(w, c0y, c0x):
+    for (_, kern, (by, bx)) in composite_up_kernels(
+        w, c0y, c0x, layer=layer, off=off
+    ):
         t_y, t_x = kern.shape[1], kern.shape[2]
         sl = gp[:, :, by : by + ly + t_y - 1, bx : bx + lx + t_x - 1, :]
         if q8:
@@ -395,7 +455,7 @@ def lazy_decode_level(
     act = _ACTIVATIONS[activation]
     layers = params["layers"]
     w1, b1 = layers[0]["w"], layers[0]["b"]
-    wf1, _ = fold_conv_weights(w1[..., :cf, :], b1)
+    wf1 = fold_w(layers[0], 0, cf)
     f_side = jax.lax.conv_general_dilated(
         f_crop_f.astype(compute_dtype),
         wf1.astype(compute_dtype),
@@ -404,17 +464,16 @@ def lazy_decode_level(
         dimension_numbers=_dim_numbers(3),
     )
     g_side = lazy_upsample_conv(
-        g, w1[..., cf:, :], offsets, target, compute_dtype=compute_dtype
+        g, w1[..., cf:, :], offsets, target,
+        layer=layers[0], off=cf, compute_dtype=compute_dtype
     )
     out = f_side + g_side + jnp.tile(b1, 4).astype(compute_dtype)
     for layer in layers[1:]:
         out = act(out)
-        out = folded_conv(
-            out, layer["w"], layer["b"], compute_dtype=compute_dtype
-        )
+        out = folded_conv(out, layer=layer, compute_dtype=compute_dtype)
     # residual: 1x1 over the implicit concat, centre-cropped
     wr, br = params["residual"]["w"], params["residual"]["b"]
-    wrf, _ = fold_conv_weights(wr[..., :cf, :], br)
+    wrf = fold_w(params["residual"], 0, cf)
     res_f = jax.lax.conv_general_dilated(
         f_crop_f.astype(compute_dtype),
         wrf.astype(compute_dtype),
@@ -423,7 +482,8 @@ def lazy_decode_level(
         dimension_numbers=_dim_numbers(3),
     )
     res_g = lazy_upsample_conv(
-        g, wr[..., cf:, :], offsets, target, compute_dtype=compute_dtype
+        g, wr[..., cf:, :], offsets, target,
+        layer=params["residual"], off=cf, compute_dtype=compute_dtype
     )
     res = res_f + res_g + jnp.tile(br, 4).astype(compute_dtype)
     res = folded_center_crop(res, folded_spatial(out))
@@ -443,20 +503,78 @@ def folded_conv_pass(
     out = None
     for i, layer in enumerate(params["layers"]):
         if i == 0:
-            out = folded_conv_split(
-                xfs, layer["w"], layer["b"], compute_dtype=compute_dtype
-            )
+            out = folded_conv_split(xfs, layer, compute_dtype=compute_dtype)
         else:
-            out = folded_conv(
-                out, layer["w"], layer["b"], compute_dtype=compute_dtype
-            )
+            out = folded_conv(out, layer=layer, compute_dtype=compute_dtype)
         if i < nlayers - 1:
             out = act(out)
     res = folded_conv_split(
-        xfs,
-        params["residual"]["w"],
-        params["residual"]["b"],
-        compute_dtype=compute_dtype,
+        xfs, params["residual"], compute_dtype=compute_dtype
     )
     res = folded_center_crop(res, folded_spatial(out))
     return act(out + res)
+
+
+# ---------------------------------------------------------------------------
+# prefolding: build every folded-weight transform once at checkpoint load
+# ---------------------------------------------------------------------------
+
+
+def prefold_conv_pass(cp, split=None, up_phases=False):
+    """Return a conv-pass params dict ({'layers': [...], 'residual': ...})
+    with prefolded weight entries added to each layer dict.
+
+    The folded forward rebuilds each conv's folded kernel (``fold_w``)
+    and, on lazy decoder levels, the four composite upsample kernels
+    (``composite_up_kernels``) from the original weights *inside* the
+    jitted graph — pure functions of the parameters, recomputed every
+    call.  Prefolding stores the results in the pytree under ``_pf:*``
+    keys so the per-call graph only loads them; consumers fall back to
+    the in-graph transform when a key is absent, and the values are
+    bit-identical either way (same ops over the same weights).
+
+    ``split``: the first-layer/residual input-channel split boundary
+    (the decoder's implicit skip/upsample concat); ``up_phases`` adds
+    the composite upsample kernels for the post-split slice at all four
+    crop-offset parity combinations (values depend only on parity).
+    """
+    if any(
+        not can_fold_kernel(tuple(layer["w"].shape[:3]))
+        for layer in cp["layers"]
+    ):
+        return cp
+
+    def with_entries(layer, first):
+        w = layer["w"]
+        ci = w.shape[3]
+        new = dict(layer)
+        if first and split:
+            segs = [(0, split), (split, ci - split)]
+        else:
+            segs = [(0, ci)]
+        for off, c in segs:
+            sl = w if (off, c) == (0, ci) else w[..., off : off + c, :]
+            new[f"_pf:{off}:{c}"] = _fold_w_only(sl)
+        if first and split and up_phases:
+            off, c = split, ci - split
+            sl = w[..., off:, :]
+            kz, ky, kx = w.shape[:3]
+            for ry in (0, 1):
+                for rx in (0, 1):
+                    for py in (0, 1):
+                        ytaps = _axis_taps(ry, py, ky)
+                        for px in (0, 1):
+                            xtaps = _axis_taps(rx, px, kx)
+                            new[f"_pfu:{off}:{c}:{ry}{rx}:{py}{px}"] = (
+                                _build_up_kernel(
+                                    sl, ytaps, min(ytaps), xtaps, min(xtaps)
+                                )
+                            )
+        return new
+
+    return {
+        "layers": [
+            with_entries(layer, i == 0) for i, layer in enumerate(cp["layers"])
+        ],
+        "residual": with_entries(cp["residual"], True),
+    }

@@ -110,6 +110,25 @@ class Model:
             )
         return params
 
+    def prefold(self, params) -> dict:
+        """Precompute every folded-weight transform the inference graph
+        would otherwise rebuild per call (``fold.prefold_conv_pass``):
+        returns params with ``_pf:*`` entries added for the foldable
+        U-Net levels and the 1x1 output heads.  Exact — ``apply`` output
+        is bit-identical with or without.  3D setups only (the 2D nets'
+        lifted fold path falls back to in-graph transforms)."""
+        cfg = self.unet_config
+        if cfg.dims != 3:
+            return params
+        from . import fold as F
+        from .unet import prefold_unet_params
+
+        new = dict(params)
+        new["unet"] = prefold_unet_params(params["unet"], cfg)
+        for name in self.net_config["outputs"]:
+            new[f"head_{name}"] = F.prefold_conv_pass(new[f"head_{name}"])
+        return new
+
     # -- forward -----------------------------------------------------------
 
     def apply(self, params, x) -> dict:

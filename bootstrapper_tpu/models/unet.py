@@ -395,6 +395,48 @@ def _lift_2d_params(params):
     )
 
 
+def prefold_unet_params(params, cfg: UNetConfig):
+    """Add prefolded weight entries (``fold.prefold_conv_pass``) for
+    every level that can run in the folded layout.
+
+    Eligibility mirrors ``_fold_depth`` minus its input-shape checks
+    (prefolding a level the runtime shape later disqualifies is
+    harmless — the plain path ignores the extra pytree entries), so one
+    prefolded params pytree serves every tile geometry.  3D configs
+    only; inference-time use (the training graph never folds)."""
+    if not cfg.fold_xy or cfg.dims != 3 or not cfg.constant_upsample:
+        return params
+    if cfg.padding != "valid":
+        return params
+    import os
+
+    from . import fold as F
+
+    max_ch = int(os.environ.get("BS_FOLD_MAX_CH", 128))
+    nf, inc = cfg.num_fmaps, cfg.fmap_inc_factor
+    new = dict(params)
+    l_conv = list(new["l_conv"])
+    r_conv = [list(head) for head in new["r_conv"]]
+    for i in range(cfg.num_levels - 1):
+        if tuple(cfg.downsample_factors[i]) != (1, 2, 2):
+            break
+        if nf * inc**i > max_ch:
+            break
+        kernels = [tuple(k) for k in cfg.kernel_size_down[i]] + [
+            tuple(k) for k in cfg.kernel_size_up[i]
+        ]
+        if not all(F.can_fold_kernel(k) for k in kernels):
+            break
+        l_conv[i] = F.prefold_conv_pass(l_conv[i])
+        for h in range(cfg.num_heads):
+            r_conv[h][i] = F.prefold_conv_pass(
+                r_conv[h][i], split=nf * inc**i, up_phases=True
+            )
+    new["l_conv"] = l_conv
+    new["r_conv"] = r_conv
+    return new
+
+
 def _fold_eligible(cfg: UNetConfig, x) -> bool:
     """Level-0 xy fold applies: 3D net, (1,2,2) first downsample, odd xy
     kernels at level 0, even xy input extents."""

@@ -160,6 +160,10 @@ class Predictor:
             stack_infer=(model.dims == 2),
             compute_dtype=compute_dtype,
         )
+        # build the folded-weight transforms once per checkpoint load
+        # (one jitted params->params step) instead of inside every
+        # per-tile forward call
+        self.params = jax.jit(model2.prefold)(self.params)
 
         @jax.jit
         def forward(params, x):

@@ -78,19 +78,20 @@ class ShardedPredictor:
         self.output_size = Coordinate(self.out_tile) * self.voxel_size
         self.context = (self.input_size - self.output_size) / 2
 
-        self.params = jax.device_put(
-            jax.tree_util.tree_map(
-                lambda p: jnp.asarray(p, compute_dtype), params
-            ),
-            NamedSharding(self.mesh, P()),
-        )
-        self.in_sharding = NamedSharding(self.mesh, P("space"))
-
         model2 = Model(
             model.net_config,
             stack_infer=(model.dims == 2),
             compute_dtype=compute_dtype,
         )
+        self.params = jax.device_put(
+            jax.jit(model2.prefold)(
+                jax.tree_util.tree_map(
+                    lambda p: jnp.asarray(p, compute_dtype), params
+                )
+            ),
+            NamedSharding(self.mesh, P()),
+        )
+        self.in_sharding = NamedSharding(self.mesh, P("space"))
 
         def forward(params, x):
             outs = model2.apply(params, x)

@@ -234,8 +234,10 @@ class SpatialShardedPredictor:
 
         model2 = Model(model.net_config, compute_dtype=compute_dtype)
         self.params = jax.device_put(
-            jax.tree_util.tree_map(
-                lambda p: jnp.asarray(p, compute_dtype), params
+            jax.jit(model2.prefold)(
+                jax.tree_util.tree_map(
+                    lambda p: jnp.asarray(p, compute_dtype), params
+                )
             ),
             NamedSharding(self.mesh, P()),
         )
