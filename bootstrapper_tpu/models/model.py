@@ -115,15 +115,26 @@ class Model:
         would otherwise rebuild per call (``fold.prefold_conv_pass``):
         returns params with ``_pf:*`` entries added for the foldable
         U-Net levels and the 1x1 output heads.  Exact — ``apply`` output
-        is bit-identical with or without.  3D setups only (the 2D nets'
-        lifted fold path falls back to in-graph transforms)."""
+        is bit-identical with or without.  2D setups cache the lifted
+        unit-z transforms; their (unfolded) heads need no entries."""
         cfg = self.unet_config
-        if cfg.dims != 3:
-            return params
         from . import fold as F
         from .unet import prefold_unet_params
 
         new = dict(params)
+        if cfg.dims == 2:
+            # 2D setups run their folded levels through the lifted
+            # unit-z 3D machinery (unet_apply's 2D branch): compute the
+            # transforms in lifted space and merge the _pf:* arrays back
+            # into the 2D pytree — _lift_2d_params passes them through
+            # untouched at apply time (they are already 5-D).
+            from .unet import _lift_2d_config, _lift_2d_params
+
+            lifted = prefold_unet_params(
+                _lift_2d_params(params["unet"]), _lift_2d_config(cfg)
+            )
+            new["unet"] = _merge_pf_entries(params["unet"], lifted)
+            return new
         new["unet"] = prefold_unet_params(params["unet"], cfg)
         for name in self.net_config["outputs"]:
             new[f"head_{name}"] = F.prefold_conv_pass(new[f"head_{name}"])
@@ -179,6 +190,25 @@ class Model:
                 y = y[:, None]  # re-insert z axis: (n, 1, h, w, c)
             outs[name] = y
         return outs
+
+
+def _merge_pf_entries(orig, lifted):
+    """Copy ``_pf*`` cache entries from a lifted params tree back into
+    the parallel-structured original tree (2D prefold support)."""
+    if isinstance(orig, dict):
+        out = {
+            k: _merge_pf_entries(v, lifted[k]) if k in lifted else v
+            for k, v in orig.items()
+        }
+        for k, v in lifted.items():
+            if k.startswith("_pf") and k not in out:
+                out[k] = v
+        return out
+    if isinstance(orig, (list, tuple)):
+        return type(orig)(
+            _merge_pf_entries(o, l) for o, l in zip(orig, lifted)
+        )
+    return orig
 
 
 def weighted_mse_loss(pred, target, weights):

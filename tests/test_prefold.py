@@ -106,6 +106,25 @@ def test_model_prefold_full_setup():
         )
 
 
+def test_model_prefold_2d_setup():
+    # 2D nets run their folded levels via the lifted unit-z 3D
+    # machinery; prefold merges lifted _pf entries back into the 2D tree
+    model = Model.from_setup("2d_mtlsd", compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    pf = model.prefold(params)
+    l0 = pf["unet"]["l_conv"][0]["layers"][0]
+    assert any(k.startswith("_pf:") for k in l0)
+    shape = tuple(model.input_shape)
+    adj = model.net_config.get("adj_slices", 1)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, adj, *shape, 1))
+    base = model.apply(params, x)
+    got = model.apply(pf, x)
+    for name in base:
+        np.testing.assert_array_equal(
+            np.asarray(got[name]), np.asarray(base[name])
+        )
+
+
 def test_composite_up_kernels_cache_matches_fallback():
     # cached kernels are keyed by crop-offset PARITY; slice bases must
     # still reflect the full offsets

@@ -28,6 +28,7 @@ def main():
     model = Model.from_setup("3d_affs")
     params = model.init(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
+    params = jax.jit(model.prefold)(params)  # match the production graph
     fwd = jax.jit(lambda p, x: model.apply(p, x)["3d_affs"])
     xs = [
         jax.random.uniform(k, (1, *shape, 1), jnp.bfloat16)
