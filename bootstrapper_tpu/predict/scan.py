@@ -93,6 +93,53 @@ def auto_shape_increase(
     return inc
 
 
+def shrink_shape_increase(model: "Model", volume_vox_shape, inc=None) -> list:
+    """Shrink a tile's ``shape_increase`` (possibly below zero) so one
+    output tile fits inside the volume — the sub-tile-volume analog of
+    the reference's ``fit="shrink"`` edge handling (reference
+    ``bootstrapper/predict.py:37``, daisy fit modes).
+
+    Shrinks per dim in pooling-product steps (any step where the dim is
+    never pooled), keeping the shrunk input/output pair valid for the
+    net's conv arithmetic (checked via ``compute_output_shape``).  Stops
+    at the smallest valid tile; callers still reject volumes below that
+    floor.
+    """
+    from ..models import compute_output_shape
+
+    nc = model.net_config
+    dims = model.dims
+    base_in = list(nc["input_shape"])
+    base_out = list(nc["output_shape"])
+    if inc is None:
+        inc = list(nc.get("shape_increase", [0] * dims))
+    inc = list(inc)
+    vol = list(volume_vox_shape)[-dims:]
+    step = [1] * dims
+    for f in nc["downsample_factors"]:
+        step = [a * b for a, b in zip(step, f)]
+
+    def valid(cand):
+        ishape = [a + b for a, b in zip(base_in, cand)]
+        oshape = [a + b for a, b in zip(base_out, cand)]
+        if any(o < 1 for o in oshape):
+            return False
+        try:
+            got = compute_output_shape(model.unet_config, tuple(ishape))
+        except ValueError:
+            return False
+        return list(got) == oshape
+
+    for d in range(dims):
+        while base_out[d] + inc[d] > vol[d]:
+            cand = list(inc)
+            cand[d] -= step[d]
+            if not valid(cand):
+                break
+            inc = cand
+    return inc
+
+
 def tile_rois(total: Roi, tile_size: Coordinate) -> list:
     """Cover ``total`` with full-sized tiles; edge tiles shift inward.
 

@@ -92,6 +92,35 @@ def run_prediction(
                 setup_dir, link.get("checkpoint_iteration", "latest")
             )
             params = load_params(ckpt)
+
+            # output roi: shrink by total context of the chain so far
+            in_roi = prev_arrays[0].roi
+            for a in prev_arrays[1:]:
+                in_roi = in_roi.intersect(a.roi)
+            out_roi = in_roi if roi is None else roi
+            out_vox = tuple(
+                s // v for s, v in zip(out_roi.shape, raw.voxel_size)
+            )
+
+            def fit_tile(inc):
+                """Shrink the tile when the output roi is smaller than
+                one output tile (reference fit="shrink" analog)."""
+                from ..predict.scan import shrink_shape_increase
+
+                fitted = shrink_shape_increase(model, out_vox, inc)
+                if fitted != list(
+                    inc
+                    if inc is not None
+                    else model.net_config.get(
+                        "shape_increase", [0] * model.dims
+                    )
+                ):
+                    logger.info(
+                        "roi smaller than one tile: shape_increase "
+                        "shrunk to %s", fitted,
+                    )
+                return fitted
+
             shape_increase = None
             if auto_tile:
                 from ..predict.scan import auto_shape_increase
@@ -116,6 +145,7 @@ def run_prediction(
                     logger.info(
                         "spatial tile: shape_increase=%s", shape_increase
                     )
+                shape_increase = fit_tile(shape_increase)
                 predictor = SpatialShardedPredictor(
                     model, params, raw.voxel_size,
                     shape_increase=shape_increase,
@@ -133,7 +163,7 @@ def run_prediction(
 
                 predictor = ShardedPredictor(
                     model, params, raw.voxel_size,
-                    shape_increase=shape_increase,
+                    shape_increase=fit_tile(shape_increase),
                 )
                 logger.info(
                     "sharded inference over %d devices", len(jax.devices())
@@ -143,14 +173,9 @@ def run_prediction(
                     model,
                     params,
                     raw.voxel_size,
-                    shape_increase=shape_increase,
+                    shape_increase=fit_tile(shape_increase),
                     batch_tiles=batch_tiles,
                 )
-            # output roi: shrink by total context of the chain so far
-            in_roi = prev_arrays[0].roi
-            for a in prev_arrays[1:]:
-                in_roi = in_roi.intersect(a.roi)
-            out_roi = in_roi if roi is None else roi
             # keep out roi at least one tile big
             min_size = predictor.output_size
             if any(

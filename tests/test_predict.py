@@ -197,3 +197,82 @@ def test_setup_id_without_input_datasets_rejected(tmp_path):
     tomlio.dump(cfg, path)
     with pytest.raises(ValueError, match="input_datasets"):
         run_prediction(path, setup_id="3d_affs_from_2d_mtlsd")
+
+
+def test_shrink_shape_increase_fits_small_volume():
+    """Volumes smaller than one output tile shrink the tile (the
+    reference's fit="shrink" analog, ``predict.py:37``)."""
+    from bootstrapper_tpu.predict.scan import shrink_shape_increase
+
+    m = _tiny_3d_model()  # out (4, 8, 8), xy pooling product 4
+    inc = shrink_shape_increase(m, (16, 6, 6))
+    assert inc == [0, -4, -4]
+    # already-fitting volumes are untouched
+    assert shrink_shape_increase(m, (16, 32, 32)) == [0, 0, 0]
+    # a positive increase shrinks back down to fit
+    assert shrink_shape_increase(m, (16, 10, 10), [0, 4, 4]) == [0, 0, 0]
+    # z shrinks in steps of 1 (never pooled)
+    assert shrink_shape_increase(m, (3, 32, 32)) == [-1, 0, 0]
+
+
+def test_predict_volume_smaller_than_tile(tmp_path):
+    """run_prediction on a sub-tile volume shrinks the tile instead of
+    erroring, and covers the whole roi."""
+    import json
+    import os
+
+    from bootstrapper_tpu.configs import create_prediction_configs, setup_models
+    from bootstrapper_tpu.core.arrays import open_ds
+    from bootstrapper_tpu.train import create_train_state, save_checkpoint
+    from bootstrapper_tpu.utils import tomlio
+    from bootstrapper_tpu.workflows.predict import run_prediction
+
+    vs = (1, 1, 1)
+    shape = (16, 6, 6)  # xy smaller than the tiny net's (4, 8, 8) output
+    container = str(tmp_path / "v.zarr")
+    raw = prepare_ds(f"{container}/raw", shape, (0, 0, 0), vs, np.uint8)
+    raw[raw.roi] = np.random.default_rng(0).integers(
+        0, 255, shape, dtype=np.uint8
+    )
+
+    (setup_dir,) = setup_models(["3d_affs"], str(tmp_path / "setups"))
+    nc_path = os.path.join(setup_dir, "net_config.json")
+    with open(nc_path) as f:
+        nc = json.load(f)
+    nc.update(
+        num_fmaps=2, fmap_inc_factor=2,
+        input_shape=[12, 48, 48], output_shape=[4, 8, 8],
+        shape_increase=[0, 0, 0],
+        downsample_factors=[[1, 2, 2]] * 2,
+        kernel_size_down=[[[1, 3, 3], [1, 3, 3]], [[3, 3, 3], [3, 3, 3]],
+                          [[3, 3, 3], [3, 3, 3]]],
+        kernel_size_up=[[[1, 3, 3], [1, 3, 3]], [[1, 3, 3], [1, 3, 3]]],
+    )
+    nc["outputs"]["3d_affs"]["neighborhood"] = [
+        [-1, 0, 0], [0, -1, 0], [0, 0, -1]
+    ]
+    nc["outputs"]["3d_affs"]["dims"] = 3
+    with open(nc_path, "w") as f:
+        json.dump(nc, f)
+
+    model = Model.from_setup(setup_dir)
+    model.validate_shapes()
+    state, _ = create_train_state(model, jax.random.PRNGKey(0))
+    save_checkpoint(setup_dir, state, 5)
+
+    volumes = {
+        "v": {
+            "raw_dataset": f"{container}/raw",
+            "voxel_size": list(vs),
+            "output_container": container,
+        }
+    }
+    cfgs = create_prediction_configs(volumes, [setup_dir], [5])
+    cfg_path = str(tmp_path / "predict.toml")
+    tomlio.dump({"predict": cfgs}, cfg_path)
+
+    run_prediction(cfg_path)
+
+    affs = open_ds(f"{container}/3d_affs/5/3d_affs")
+    assert affs.spatial_shape == shape
+    assert (affs.to_ndarray() > 0).any()

@@ -59,12 +59,127 @@ g.lower(w, b, xf).compile()
 print("COMPILED_OK")
 """
 
+# Graduated bisect graphs between the minimal repro (compiles) and the
+# full folded train step (CHECK-fails): each candidate grad-compiles one
+# more construct of the real training graph. The first 'crash' names the
+# offending construct.
+GRADUATED = {
+    # folded conv -> phase-max pool -> folded conv
+    "pool": r"""
+import sys
+sys.path.insert(0, {here!r})
+import jax, jax.numpy as jnp
+from bootstrapper_tpu.models import fold as F
 
-def probe(flag: str, timeout: int = 1800) -> str:
+def loss(w1, w2, xf):
+    y = F.folded_conv(xf, w1, None, compute_dtype=jnp.bfloat16)
+    y = F.folded_pool_122(y)
+    y = F.folded_conv(y, w2, None, compute_dtype=jnp.bfloat16)
+    return jnp.sum(y.astype(jnp.float32) ** 2)
+
+w1 = jnp.zeros((1, 3, 3, 4, 8), jnp.float32)
+w2 = jnp.zeros((1, 3, 3, 8, 8), jnp.float32)
+xf = jnp.zeros((1, 4, 32, 32, 16), jnp.float32)
+jax.jit(jax.grad(loss)).lower(w1, w2, xf).compile()
+print("COMPILED_OK")
+""",
+    # minimal folded conv at the real training tile's folded geometry
+    "trainshape": r"""
+import sys
+sys.path.insert(0, {here!r})
+import jax, jax.numpy as jnp
+from bootstrapper_tpu.models import fold as F
+
+def loss(w, b, xf):
+    y = F.folded_conv(xf, w, b, compute_dtype=jnp.bfloat16)
+    return jnp.sum(y.astype(jnp.float32) ** 2)
+
+w = jnp.zeros((1, 3, 3, 4, 48), jnp.float32)
+b = jnp.zeros((48,), jnp.float32)
+xf = jnp.zeros((1, 32, 98, 98, 4), jnp.float32)  # (32,196,196) folded
+jax.jit(jax.grad(loss)).lower(w, b, xf).compile()
+print("COMPILED_OK")
+""",
+    # full folded U-Net forward, gradient of a scalar loss (tiny tile)
+    "unet_tiny": r"""
+import sys
+sys.path.insert(0, {here!r})
+import jax, jax.numpy as jnp
+from bootstrapper_tpu.models import Model
+
+nc = dict(Model.from_setup("3d_affs").net_config)
+nc.update(num_fmaps=4, fmap_inc_factor=2,
+          input_shape=[12, 48, 48], output_shape=[4, 8, 8],
+          shape_increase=[0, 0, 0],
+          downsample_factors=[[1, 2, 2]] * 2,
+          kernel_size_down=[[[1, 3, 3], [1, 3, 3]],
+                            [[3, 3, 3], [3, 3, 3]],
+                            [[3, 3, 3], [3, 3, 3]]],
+          kernel_size_up=[[[1, 3, 3], [1, 3, 3]],
+                          [[1, 3, 3], [1, 3, 3]]],
+          fold_xy=True)
+m = Model(nc)
+params = m.init(jax.random.PRNGKey(0))
+
+def loss(params, x):
+    out = m.apply(params, x)["3d_affs"]
+    return jnp.sum(out.astype(jnp.float32) ** 2)
+
+x = jnp.zeros((1, 12, 48, 48, 1), jnp.bfloat16)
+jax.jit(jax.grad(loss)).lower(params, x).compile()
+print("COMPILED_OK")
+""",
+    # full folded U-Net gradient at the REFERENCE training tile
+    "unet_trainshape": r"""
+import sys
+sys.path.insert(0, {here!r})
+import jax, jax.numpy as jnp
+from bootstrapper_tpu.models import Model
+
+nc = dict(Model.from_setup("3d_affs").net_config)
+nc["fold_xy"] = True
+m = Model(nc)
+params = m.init(jax.random.PRNGKey(0))
+
+def loss(params, x):
+    out = m.apply(params, x)["3d_affs"]
+    return jnp.sum(out.astype(jnp.float32) ** 2)
+
+x = jnp.zeros((1, 32, 196, 196, 1), jnp.bfloat16)
+jax.jit(jax.grad(loss)).lower(params, x).compile()
+print("COMPILED_OK")
+""",
+    # the real train step (fwd+bwd+adam) with the fold enabled
+    "trainstep": r"""
+import sys
+sys.path.insert(0, {here!r})
+import jax, jax.numpy as jnp
+from bootstrapper_tpu.models import Model
+from bootstrapper_tpu.train import create_train_state, make_train_step
+
+nc = dict(Model.from_setup("3d_affs").net_config)
+nc["fold_xy"] = True
+m = Model(nc)
+state, tx = create_train_state(m, jax.random.PRNGKey(0))
+step = jax.jit(make_train_step(m, tx))
+dims = m.net_config["outputs"]["3d_affs"]["dims"]
+batch = {{
+    "input": jnp.zeros((1, 32, 196, 196, 1), jnp.bfloat16),
+    "targets": {{"3d_affs": jnp.zeros((1, 4, 104, 104, dims), jnp.bfloat16)}},
+    "weights": {{"3d_affs": jnp.ones((1, 4, 104, 104, dims), jnp.bfloat16)}},
+}}
+step.lower(state, batch).compile()
+print("COMPILED_OK")
+""",
+}
+
+
+def probe(flag: str, timeout: int = 1800, code: str = None) -> str:
     env = dict(os.environ)
     if flag:
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flag).strip()
-    code = REPRO.format(here=HERE)
+    if code is None:
+        code = REPRO.format(here=HERE)
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code],
@@ -88,9 +203,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bare", action="store_true",
                     help="only the flagless minimal repro")
+    ap.add_argument("--graphs", action="store_true",
+                    help="bisect: grad-compile the graduated graphs "
+                         "between the minimal repro and the full train "
+                         "step; first crash names the construct")
+    ap.add_argument("--flag", default="",
+                    help="XLA flag to apply to every graduated graph")
     args = ap.parse_args()
-    flags = [""] if args.bare else CANDIDATE_FLAGS
     results = {}
+    if args.graphs:
+        for name in ["bare", *GRADUATED]:
+            code = (REPRO if name == "bare" else GRADUATED[name]).format(
+                here=HERE
+            )
+            print(f"probing graph {name} ...", flush=True)
+            results[name] = probe(args.flag, code=code)
+            print(f"  -> {results[name]}", flush=True)
+        print(json.dumps(results))
+        return
+    flags = [""] if args.bare else CANDIDATE_FLAGS
     for flag in flags:
         label = flag or "<none>"
         print(f"probing {label} ...", flush=True)
