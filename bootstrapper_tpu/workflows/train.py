@@ -76,9 +76,12 @@ def run_training(config_file: str, **overrides) -> dict:
 
     model = Model.from_setup(setup_dir)
     if not cfg.get("fold_xy", False):
-        # train unfolded: the space-to-depth fold targets big-tile
-        # inference; its gradient graph trips an XLA:TPU compiler bug
-        # (space_to_batch_converter halo check) at training tile sizes
+        # train unfolded — measured fastest, not just a crash dodge:
+        # XLA's space-to-batch pass (which CHECK-fails on folded-conv
+        # gradients but can be disabled via compiler_options) wins 65%
+        # over folded training at the reference train tile, because the
+        # tiny 4x104x104 output starves the MXU on batch, not lanes
+        # (tools/xla_s2b_probe.py: 133.8 vs 220.6 ms/step)
         model = Model({**model.net_config, "fold_xy": False})
     model.validate_shapes()
     spec = SetupSpec(model.net_config, tuple(voxel_size))

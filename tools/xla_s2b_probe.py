@@ -6,18 +6,42 @@ with a CHECK failure in ``space_to_batch_converter.cc:543``, so training
 runs the plain unfolded graph (``fold_xy`` gate in workflows/train.py)
 and only inference gets the fold's MXU win.
 
-This tool isolates the repro to its minimal form and probes whether any
-XLA debug flag disables the offending pass, compiling each candidate in
-a fresh subprocess (a CHECK failure takes the process down, sometimes
-the relay session with it — run this only when nothing else is using
-the chip):
+RESOLVED (round 3). Two findings close this:
 
-    python tools/xla_s2b_probe.py            # probe all candidates
+1. **Bypass exists**: the offending pass can be disabled per-executable
+   with ``jax.jit(step).lower(...).compile(compiler_options=
+   {"xla_disable_hlo_passes": "space-to-batch-converter"})`` — the
+   public DebugOptions pass-disable flag is honored by the relay's
+   server-side TPU compiler (client-side XLA_FLAGS fatally rejects
+   TPU-private flag names, so compiler_options is the only channel).
+   Under it the full folded train step compiles and runs.
+
+2. **Folded training is a measured NEGATIVE** (v5e, reference train
+   tile 32x196x196, batch 1, 12-iter steady state):
+
+       unfolded + default (s2b on)    133.8 ms/step   <- production
+       folded   + s2b disabled        220.6 ms/step   (+65%)
+       unfolded + s2b disabled        275.9 ms/step   (+106%)
+
+   The space-to-batch pass is what makes small-tile conv *training*
+   fast (it moves spatial extent into batch for the tiny 4x104x104
+   output's gradient convs); the space-to-depth fold cannot compensate
+   because at training tiles the MXU is starved by output size, not
+   lane count. The ``fold_xy`` gate in workflows/train.py is therefore
+   the *faster* configuration, not a workaround — do not re-chase
+   folded training unless the train tile grows ~4x in xy.
+
+This tool remains the contained repro/bisect harness, compiling each
+candidate in a fresh subprocess (a CHECK failure takes the process
+down, sometimes the relay session with it — run this only when nothing
+else is using the chip):
+
+    python tools/xla_s2b_probe.py            # probe all XLA_FLAGS candidates
     python tools/xla_s2b_probe.py --bare     # just the minimal repro
+    python tools/xla_s2b_probe.py --graphs --copt   # graduated graphs
+        # with the space-to-batch converter disabled via compiler_options
 
 Outcome per candidate: 'ok' (compiled), 'crash' (CHECK), 'error'.
-If a flag compiles, workflows/train.py can enable folded training under
-that flag; otherwise this file *is* the documented minimal repro.
 """
 
 import argparse
@@ -209,6 +233,11 @@ def main():
                          "step; first crash names the construct")
     ap.add_argument("--flag", default="",
                     help="XLA flag to apply to every graduated graph")
+    ap.add_argument("--copt", action="store_true",
+                    help="disable the space-to-batch converter via "
+                         "compiler_options (the channel that actually "
+                         "reaches the relay's server-side compiler; "
+                         "XLA_FLAGS cannot carry TPU-private flags)")
     args = ap.parse_args()
     results = {}
     if args.graphs:
@@ -216,6 +245,12 @@ def main():
             code = (REPRO if name == "bare" else GRADUATED[name]).format(
                 here=HERE
             )
+            if args.copt:
+                code = code.replace(
+                    ".compile()",
+                    '.compile(compiler_options={"xla_disable_hlo_passes":'
+                    ' "space-to-batch-converter"})',
+                )
             print(f"probing graph {name} ...", flush=True)
             results[name] = probe(args.flag, code=code)
             print(f"  -> {results[name]}", flush=True)
