@@ -44,9 +44,17 @@ def _measure(model, shape_increase, iters):
     # checkpoint load, not per tile) — bench measures the same graph
     params = jax.jit(model.prefold)(params)
 
-    @jax.jit
-    def forward(params, x):
-        return model.apply(params, x)["3d_affs"]
+    # validated server-side compiler tuning for this graph (utils/xla.py:
+    # XLA_FLAGS cannot carry TPU flags through the relay; compiler_options
+    # can): 32 MiB scoped vmem measured +0.45% at both bench tiles'
+    # graph family vs the 16 MiB default; 64 MiB is -4%, 96 MiB
+    # OOM-kills the compile helper. BS_XLA_OPTS overrides.
+    from bootstrapper_tpu.utils.xla import bs_jit
+
+    forward = bs_jit(
+        lambda params, x: model.apply(params, x)["3d_affs"],
+        compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    )
 
     # distinct random inputs per iteration: repeated identical
     # executions can be deduplicated upstream and report fantasy numbers.

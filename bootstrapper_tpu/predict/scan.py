@@ -212,7 +212,9 @@ class Predictor:
         # per-tile forward call
         self.params = jax.jit(model2.prefold)(self.params)
 
-        @jax.jit
+        from ..utils.xla import bs_jit
+
+        @bs_jit
         def forward(params, x):
             outs = model2.apply(params, x)
             # to uint8 on device: round(clip(y)*255)

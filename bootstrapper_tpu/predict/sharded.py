@@ -100,7 +100,9 @@ class ShardedPredictor:
                 for k, v in outs.items()
             }
 
-        self._forward = jax.jit(
+        from ..utils.xla import bs_jit
+
+        self._forward = bs_jit(
             forward,
             in_shardings=(NamedSharding(self.mesh, P()), self.in_sharding),
             out_shardings=NamedSharding(self.mesh, P("space")),

@@ -277,7 +277,9 @@ class SpatialShardedPredictor:
         out_specs = {
             name: self.in_spec for name in model.net_config["outputs"]
         }
-        self._forward = jax.jit(
+        from ..utils.xla import bs_jit
+
+        self._forward = bs_jit(
             shard_map(
                 fwd,
                 mesh=self.mesh,

@@ -136,7 +136,9 @@ def shard_train_step(step_fn, mesh) -> Callable:
         )
         return state, batch
 
-    jitted = jax.jit(step_fn, donate_argnums=(0,))
+    from ..utils.xla import bs_jit
+
+    jitted = bs_jit(step_fn, donate_argnums=(0,))
     return jitted, place
 
 

@@ -139,7 +139,9 @@ def run_training(config_file: str, **overrides) -> dict:
         step_fn, place = shard_train_step(raw_step, mesh)
         logger.info("sharded training over mesh %s", mesh.shape)
     else:
-        step_fn = jax.jit(raw_step, donate_argnums=(0,))
+        from ..utils.xla import bs_jit
+
+        step_fn = bs_jit(raw_step, donate_argnums=(0,))
 
     # auto-resume (reference Lightning behaviour,
     # models/3d_affs_from_2d_mtlsd/train.py:343-344)
