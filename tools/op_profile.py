@@ -29,7 +29,9 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     params = jax.tree_util.tree_map(lambda p: p.astype(jnp.bfloat16), params)
     params = jax.jit(model.prefold)(params)  # match the production graph
-    fwd = jax.jit(lambda p, x: model.apply(p, x)["3d_affs"])
+    from bootstrapper_tpu.utils.xla import bs_jit  # honors BS_XLA_OPTS
+
+    fwd = bs_jit(lambda p, x: model.apply(p, x)["3d_affs"])
     xs = [
         jax.random.uniform(k, (1, *shape, 1), jnp.bfloat16)
         for k in jax.random.split(jax.random.PRNGKey(1), 3)
@@ -37,7 +39,7 @@ def main():
     y = fwd(params, xs[0])
     _ = float(y.mean())  # warm up + force
 
-    trace_dir = "/root/scratch/trace"
+    trace_dir = os.environ.get("BS_TRACE_DIR", "/tmp/bs_trace")
     os.system(f"rm -rf {trace_dir}")
     with jax.profiler.trace(trace_dir):
         for x in xs:
