@@ -42,7 +42,7 @@ class CommandGroup(click.Group):
 
 
 @click.group(cls=CommandGroup)
-@click.version_option(package_name=None, version="0.1.0", prog_name="bs")
+@click.version_option(package_name=None, version="0.3.0", prog_name="bs")
 def cli():
     """bootstrapper-tpu: TPU-native volumetric segmentation bootstrapping."""
 
@@ -532,10 +532,12 @@ def view(paths, snapshot):
     view_datasets(paths, snapshot=snapshot)
 
 
-# utils subgroup lives in its own module
+# utils subgroup + doctor live in their own modules
+from .doctor import doctor  # noqa: E402
 from .utils_cmds import utils  # noqa: E402
 
 cli.add_command(utils)
+cli.add_command(doctor)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ STYLES = {
     "filter": {"fg": "red"},
     "view": {"fg": "white"},
     "utils": {"fg": "bright_black"},
+    "doctor": {"fg": "bright_white"},
     "default": {},
 }
 
