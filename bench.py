@@ -44,16 +44,15 @@ def _measure(model, shape_increase, iters):
     # checkpoint load, not per tile) — bench measures the same graph
     params = jax.jit(model.prefold)(params)
 
-    # validated server-side compiler tuning for this graph (utils/xla.py:
-    # XLA_FLAGS cannot carry TPU flags through the relay; compiler_options
-    # can): 32 MiB scoped vmem measured +0.45% at both bench tiles'
-    # graph family vs the 16 MiB default; 64 MiB is -4%, 96 MiB
-    # OOM-kills the compile helper. BS_XLA_OPTS overrides.
-    from bootstrapper_tpu.utils.xla import bs_jit
+    # same server-side compiler tuning as the production predictors
+    # (utils/xla.py VALIDATED_TPU_OPTS: 32 MiB scoped vmem, +0.45%
+    # measured at both bench tiles) so bench measures the shipped
+    # default graph. BS_XLA_OPTS overrides.
+    from bootstrapper_tpu.utils.xla import bs_jit, tpu_default_options
 
     forward = bs_jit(
         lambda params, x: model.apply(params, x)["3d_affs"],
-        compiler_options={"xla_tpu_scoped_vmem_limit_kib": "32768"},
+        compiler_options=tpu_default_options(),
     )
 
     # distinct random inputs per iteration: repeated identical

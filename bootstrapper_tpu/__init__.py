@@ -7,7 +7,7 @@ segment via watershed/mutex-watershed/CC + hierarchical agglomeration,
 evaluate (VOI/ERL/error maps), filter to pseudo-ground-truth, repeat.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"  # keep in sync with pyproject.toml
 
 import os as _os
 import sys as _sys

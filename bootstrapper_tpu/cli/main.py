@@ -13,6 +13,7 @@ import os
 
 import click
 
+from .. import __version__
 from .styles import cli_echo
 
 logging.basicConfig(
@@ -42,7 +43,7 @@ class CommandGroup(click.Group):
 
 
 @click.group(cls=CommandGroup)
-@click.version_option(package_name=None, version="0.3.0", prog_name="bs")
+@click.version_option(package_name=None, version=__version__, prog_name="bs")
 def cli():
     """bootstrapper-tpu: TPU-native volumetric segmentation bootstrapping."""
 

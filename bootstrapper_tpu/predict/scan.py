@@ -212,9 +212,9 @@ class Predictor:
         # per-tile forward call
         self.params = jax.jit(model2.prefold)(self.params)
 
-        from ..utils.xla import bs_jit
+        from ..utils.xla import bs_jit, tpu_default_options
 
-        @bs_jit
+        @bs_jit(compiler_options=tpu_default_options())
         def forward(params, x):
             outs = model2.apply(params, x)
             # to uint8 on device: round(clip(y)*255)

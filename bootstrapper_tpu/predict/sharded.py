@@ -100,12 +100,13 @@ class ShardedPredictor:
                 for k, v in outs.items()
             }
 
-        from ..utils.xla import bs_jit
+        from ..utils.xla import bs_jit, tpu_default_options
 
         self._forward = bs_jit(
             forward,
             in_shardings=(NamedSharding(self.mesh, P()), self.in_sharding),
             out_shardings=NamedSharding(self.mesh, P("space")),
+            compiler_options=tpu_default_options(),
         )
 
     @property

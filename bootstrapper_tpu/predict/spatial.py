@@ -277,7 +277,7 @@ class SpatialShardedPredictor:
         out_specs = {
             name: self.in_spec for name in model.net_config["outputs"]
         }
-        from ..utils.xla import bs_jit
+        from ..utils.xla import bs_jit, tpu_default_options
 
         self._forward = bs_jit(
             shard_map(
@@ -286,7 +286,8 @@ class SpatialShardedPredictor:
                 in_specs=(P(), self.in_spec),
                 out_specs=out_specs,
                 check_vma=False,
-            )
+            ),
+            compiler_options=tpu_default_options(),
         )
         self.in_sharding = NamedSharding(self.mesh, self.in_spec)
         self._is_image = "raw" in model.net_config.get(

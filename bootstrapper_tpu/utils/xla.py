@@ -29,23 +29,57 @@ import os
 from typing import Optional
 
 
+#: options validated on the headline inference graphs (BASELINE.md):
+#: 32 MiB scoped vmem is +0.45% at both bench tiles vs the 16 MiB
+#: default; 64 MiB is -4%; 96 MiB OOM-kills the compile helper.
+#: Applied by the inference predictors on non-CPU backends only (the
+#: CPU compiler rejects TPU flag names); BS_XLA_OPTS overrides.
+VALIDATED_TPU_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+
+
+def tpu_default_options() -> Optional[dict]:
+    """``VALIDATED_TPU_OPTS`` when an accelerator backend is active,
+    else None. Import-light: only consults jax when already imported."""
+    import sys
+
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return None
+    try:
+        if jax.default_backend() == "cpu":
+            return None
+    except Exception:
+        return None
+    return dict(VALIDATED_TPU_OPTS)
+
+
 def compiler_options(extra: Optional[dict] = None) -> Optional[dict]:
     """Merge ``BS_XLA_OPTS`` (comma-separated ``k=v`` pairs) with
     ``extra``; returns None when there is nothing to forward so call
-    sites can pass it straight to ``jax.jit(compiler_options=...)``."""
+    sites can pass it straight to ``jax.jit(compiler_options=...)``.
+
+    A comma-separated *value* (e.g. a two-pass
+    ``xla_disable_hlo_passes=a,b`` list) stays expressible: a token
+    without ``=`` is treated as a continuation of the previous entry's
+    value, not as a malformed pair."""
     opts = dict(extra) if extra else {}
     env = os.environ.get("BS_XLA_OPTS", "").strip()
     if env:
-        for pair in env.split(","):
-            pair = pair.strip()
-            if not pair:
+        last_key = None
+        for token in env.split(","):
+            token = token.strip()
+            if not token:
                 continue
-            if "=" not in pair:
+            if "=" in token:
+                k, v = token.split("=", 1)
+                last_key = k.strip()
+                opts[last_key] = v.strip()
+            elif last_key is not None:
+                opts[last_key] += "," + token
+            else:
                 raise ValueError(
-                    f"BS_XLA_OPTS entry {pair!r} is not k=v"
+                    f"BS_XLA_OPTS entry {token!r} is not k=v"
                 )
-            k, v = pair.split("=", 1)
-            opts[k.strip()] = v.strip()
     return opts or None
 
 

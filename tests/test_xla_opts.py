@@ -38,6 +38,19 @@ def test_env_overrides_explicit(monkeypatch):
     }
 
 
+def test_parse_comma_valued_flag(monkeypatch):
+    # a comma inside a value (multi-pass disable list) must parse as a
+    # continuation of the previous entry, not a malformed pair
+    monkeypatch.setenv(
+        "BS_XLA_OPTS",
+        "xla_disable_hlo_passes=space-to-batch-converter,fusion,k=v",
+    )
+    assert compiler_options() == {
+        "xla_disable_hlo_passes": "space-to-batch-converter,fusion",
+        "k": "v",
+    }
+
+
 def test_parse_rejects_bare_token(monkeypatch):
     monkeypatch.setenv("BS_XLA_OPTS", "not_a_pair")
     with pytest.raises(ValueError):

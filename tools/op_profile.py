@@ -39,8 +39,10 @@ def main():
     y = fwd(params, xs[0])
     _ = float(y.mean())  # warm up + force
 
-    trace_dir = os.environ.get("BS_TRACE_DIR", "/tmp/bs_trace")
-    os.system(f"rm -rf {trace_dir}")
+    import shutil
+
+    trace_dir = os.environ.get("BS_TRACE_DIR") or "/tmp/bs_trace"
+    shutil.rmtree(trace_dir, ignore_errors=True)
     with jax.profiler.trace(trace_dir):
         for x in xs:
             y = fwd(params, x)

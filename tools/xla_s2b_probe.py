@@ -257,10 +257,17 @@ def main():
         print(json.dumps(results))
         return
     flags = [""] if args.bare else CANDIDATE_FLAGS
+    code = REPRO.format(here=HERE)
+    if args.copt:  # apply the bypass in bare/candidate modes too
+        code = code.replace(
+            ".compile()",
+            '.compile(compiler_options={"xla_disable_hlo_passes":'
+            ' "space-to-batch-converter"})',
+        )
     for flag in flags:
         label = flag or "<none>"
         print(f"probing {label} ...", flush=True)
-        results[label] = probe(flag)
+        results[label] = probe(flag, code=code)
         print(f"  -> {results[label]}", flush=True)
     print(json.dumps(results))
 
