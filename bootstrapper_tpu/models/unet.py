@@ -508,8 +508,12 @@ def _z_slab_decode(f_left, g, i, cfg, crop_factors, decode_fn):
     Default ("auto"): slabs engage exactly where the lazy decode used
     to — materialised upsample past $BS_LAZY_UP_BYTES — with the count
     chosen so each slab's upsample stays near $BS_Z_SLAB_TARGET_BYTES
-    (1G).  Measured on a v5e at (152,540,540): 12.64 Mvox/s for 4
-    slabs vs 12.27 single-shot lazy (BASELINE.md round-3 A/B).
+    (1.4G: fewer, bigger slabs pay less halo recompute; the v5e
+    (152,540,540) A/B under the 32 MiB scoped-vmem default measured
+    3 slabs 12.85 Mvox/s at a 13.45 G arena vs 4 slabs 12.74 @ 12.2 G
+    and 6 slabs 12.64 — raise the target only while the arena keeps
+    >=1 G headroom).  Measured earlier on the same tile: 12.64 Mvox/s
+    for 4 slabs vs 12.27 single-shot lazy (BASELINE.md round-3 A/B).
     BS_DECODE_Z_SLABS=0 disables, an integer forces that count."""
     import math
     import os
@@ -519,7 +523,7 @@ def _z_slab_decode(f_left, g, i, cfg, crop_factors, decode_fn):
         up_bytes = 2 * g.shape[-1] * g.shape[1] * (g.shape[2] * g.shape[3] * 4)
         if up_bytes <= float(os.environ.get("BS_LAZY_UP_BYTES", 3e9)):
             return None
-        target = float(os.environ.get("BS_Z_SLAB_TARGET_BYTES", 1e9))
+        target = float(os.environ.get("BS_Z_SLAB_TARGET_BYTES", 1.4e9))
         n = min(16, math.ceil(up_bytes / max(target, 1.0)))
     else:
         n = int(raw)
