@@ -333,7 +333,9 @@ def train(config_file, max_iterations, batch_size, save_checkpoints_every,
 @cli.command()
 @click.argument("config_file", type=click.Path(exists=True))
 @click.option("--volume", "-v", default=None)
-@click.option("--batch-tiles", "-b", type=int, default=1)
+@click.option("--batch-tiles", "-b", type=int, default=None,
+              help="tiles per device step (default: 32 for 2D setups, "
+              "1 for 3D — one 3D tile already fills the chip)")
 @click.option("--sharded", "-s", is_flag=False, flag_value="batch",
               default=None, type=click.Choice(["batch", "spatial"]),
               help="shard over all devices: 'batch' replicates the model "

@@ -175,7 +175,7 @@ class Predictor:
         params,
         voxel_size,
         shape_increase: Optional[Sequence[int]] = None,
-        batch_tiles: int = 1,
+        batch_tiles: Optional[int] = None,
         compute_dtype=jnp.bfloat16,
     ):
         self.model = model
@@ -197,6 +197,14 @@ class Predictor:
         self.input_size = Coordinate(self.input_tile) * self.voxel_size
         self.output_size = Coordinate(self.output_tile) * self.voxel_size
         self.context = (self.input_size - self.output_size) / 2
+        if batch_tiles is None:
+            # auto: one 3D tile already fills the MXU (batch-2 measured
+            # SLOWER — BASELINE.md round-3), but a 2D section is tiny, so
+            # z-sections batch until the MXU saturates: 4->14.8, 8->27.9,
+            # 32->32.7, 64->34.7 Mvox/s measured for 2d_mtlsd at the
+            # 412-tile on a v5e. 32 is the knee (94% of batch-64 at half
+            # the latency); memory is trivial (88 MB of inputs).
+            batch_tiles = 32 if model.dims == 2 else 1
         self.batch_tiles = batch_tiles
 
         self.params = jax.tree_util.tree_map(

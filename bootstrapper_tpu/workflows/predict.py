@@ -43,7 +43,7 @@ def _find_checkpoint(setup_dir: str, iteration) -> str:
 def run_prediction(
     config_file: str,
     volume: Optional[str] = None,
-    batch_tiles: int = 1,
+    batch_tiles: Optional[int] = None,
     sharded=None,  # falsy | "batch" | "spatial"
     auto_tile: bool = False,
     roi_offset=None,

@@ -37,7 +37,8 @@ def main():
     ap.add_argument("--out", default="/root/scratch/cremi_scale")
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--sparse-every", type=int, default=4)
-    ap.add_argument("--batch-tiles", type=int, default=1)
+    ap.add_argument("--batch-tiles", type=int, default=None,
+                    help="default: auto (32 for 2D setups, 1 for 3D)")
     args = ap.parse_args()
     shape = tuple(int(v) for v in args.shape.split(","))
     nvox = shape[0] * shape[1] * shape[2]
