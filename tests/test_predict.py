@@ -276,3 +276,38 @@ def test_predict_volume_smaller_than_tile(tmp_path):
     affs = open_ds(f"{container}/3d_affs/5/3d_affs")
     assert affs.spatial_shape == shape
     assert (affs.to_ndarray() > 0).any()
+
+
+def test_batch_tiles_auto_defaults():
+    """batch_tiles=None -> 32 for 2D setups (sections batch until the
+    MXU saturates), 1 for 3D (one tile already fills the chip)."""
+    m3 = _tiny_3d_model()
+    p3 = Predictor(m3, m3.init(jax.random.PRNGKey(0)), (40, 4, 4))
+    assert p3.batch_tiles == 1
+
+    nc = dict(Model.from_setup("2d_affs").net_config)
+    nc.update(
+        num_fmaps=2,
+        fmap_inc_factor=2,
+        input_shape=[48, 48],
+        output_shape=[8, 8],
+        shape_increase=[0, 0],
+        downsample_factors=[[2, 2]] * 2,
+        kernel_size_down=[[[3, 3], [3, 3]]] * 3,
+        kernel_size_up=[[[3, 3], [3, 3]]] * 2,
+    )
+    nc["outputs"] = {
+        "2d_affs": {
+            "dtype": "uint8",
+            "dims": 2,
+            "neighborhood": [[-1, 0], [0, -1]],
+            "grow_boundary": 1,
+        }
+    }
+    m2 = Model(nc)
+    p2 = Predictor(m2, m2.init(jax.random.PRNGKey(0)), (50, 8, 8))
+    assert p2.batch_tiles == 32
+    # explicit values still win
+    p2b = Predictor(m2, m2.init(jax.random.PRNGKey(0)), (50, 8, 8),
+                    batch_tiles=4)
+    assert p2b.batch_tiles == 4
