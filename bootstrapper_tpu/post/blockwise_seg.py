@@ -318,30 +318,171 @@ def find_segments(
     return paths
 
 
+def fragment_pair_means(
+    frags: np.ndarray,
+    affs: np.ndarray,
+    neighborhood: Sequence[Sequence[int]],
+) -> Dict[str, tuple]:
+    """Mean affinity per touching fragment pair, split into the two
+    mutex edge populations (volara AffAgglom capability,
+    ``post/blockwise/mutex/*``): ``adj`` = direct-neighbour offsets
+    (max |o| <= 1, attractive in the mutex graph) and ``lr`` =
+    long-range offsets (repulsive).
+
+    Edge convention matches the in-memory mutex watershed
+    (``post/fragments.py``): channel ``c`` at source voxel ``u``
+    carries the affinity of edge ``(u, u + neighborhood[c])``.
+    Returns ``{group: (us, vs, means)}`` with canonical ``u < v``
+    pairs; pairs involving background (0) are dropped.
+    """
+    shape = frags.shape
+    acc: Dict[str, list] = {"adj": [], "lr": []}
+    for ci, off in enumerate(neighborhood):
+        group = "lr" if max(abs(int(o)) for o in off) > 1 else "adj"
+        src = tuple(
+            slice(max(0, -int(o)), s - max(0, int(o)))
+            for o, s in zip(off, shape)
+        )
+        dst = tuple(
+            slice(max(0, int(o)), s - max(0, -int(o)))
+            for o, s in zip(off, shape)
+        )
+        u = frags[src].ravel()
+        v = frags[dst].ravel()
+        w = affs[ci][src].ravel().astype(np.float64)
+        m = (u > 0) & (v > 0) & (u != v)
+        if not m.any():
+            continue
+        u, v, w = u[m], v[m], w[m]
+        a = np.minimum(u, v)
+        b = np.maximum(u, v)
+        pairs = np.stack([a, b], axis=1)
+        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        sums = np.bincount(inv, weights=w, minlength=len(uniq))
+        counts = np.bincount(inv, minlength=len(uniq))
+        acc[group].append((uniq, sums, counts))
+    out: Dict[str, tuple] = {}
+    for group, parts in acc.items():
+        if not parts:
+            out[group] = (
+                np.zeros(0, np.uint64), np.zeros(0, np.uint64),
+                np.zeros(0, np.float64),
+            )
+            continue
+        allp = np.concatenate([p[0] for p in parts])
+        alls = np.concatenate([p[1] for p in parts])
+        allc = np.concatenate([p[2] for p in parts])
+        uniq, inv = np.unique(allp, axis=0, return_inverse=True)
+        sums = np.bincount(inv, weights=alls, minlength=len(uniq))
+        counts = np.bincount(inv, weights=allc, minlength=len(uniq))
+        out[group] = (
+            uniq[:, 0].astype(np.uint64),
+            uniq[:, 1].astype(np.uint64),
+            sums / np.maximum(counts, 1),
+        )
+    return out
+
+
+def mws_agglomerate_blockwise(
+    affs: Array,
+    fragments: Array,
+    rag_adj: RagDB,
+    rag_lr: RagDB,
+    neighborhood: Sequence[Sequence[int]],
+    block_shape: Sequence[int],
+    context_voxels: Sequence[int] = (2, 20, 20),
+    num_workers: int = 8,
+    roi: Optional[Roi] = None,
+    block_stride: int = 1,
+    block_offset: int = 0,
+    ledger: Optional[str] = None,
+    task_name: str = "agglomerate_mws",
+):
+    """AffAgglom capability: per block, mean affinity per fragment pair
+    for the attractive (adjacent) and repulsive (long-range) offset
+    groups, written to two RAG edge tables. The stored score IS the
+    mean affinity (higher = stronger attraction/repulsion evidence);
+    cross-block duplicates keep the minimum (conservative against
+    over-merge for adj, most-repulsive for lr)."""
+    vs = affs.voxel_size
+    total = roi or fragments.roi
+    block_size = Coordinate(block_shape) * vs
+    context = Coordinate(context_voxels) * vs
+
+    def process(block):
+        read = block.read_roi.intersect(total)
+        frags = fragments.to_ndarray(read)
+        if not frags.any():
+            return "skipped"
+        a = affs.to_ndarray(read).astype(np.float32)
+        if np.issubdtype(affs.dtype, np.integer):
+            a = a / 255.0
+        groups = fragment_pair_means(frags, a, neighborhood)
+        for rag, key in ((rag_adj, "adj"), (rag_lr, "lr")):
+            us, vs_, means = groups[key]
+            if len(us):
+                rag.write_edges(us.tolist(), vs_.tolist(), means.tolist())
+
+    task = BlockwiseTask(
+        name=task_name,
+        total_roi=total,
+        write_size=block_size,
+        context_neg=context,
+        context_pos=context,
+        process=process,
+        fit="shrink",
+        read_write_conflict=True,
+        num_workers=num_workers,
+        block_stride=block_stride,
+        block_offset=block_offset,
+        ledger=ledger,
+    )
+    return run_blockwise_or_raise(task)
+
+
 def global_mutex_segments(
-    rag: RagDB,
+    rag_adj: RagDB,
     lut_dir: str,
-    bias_attractive: float = 1.0,
-    bias_repulsive: float = -0.5,
+    rag_lr: Optional[RagDB] = None,
+    adj_bias: float = -0.4,
+    lr_bias: float = -0.7,
 ) -> Dict[str, str]:
     """GraphMWS capability (``mutex/luts.py:17-90``): one global mutex
-    watershed over RAG edges with global biases; scores <= 0.5 attract."""
+    watershed over BOTH RAG edge populations with global biases —
+    adjacent edges weighted ``mean_adj_aff + adj_bias`` (positive =
+    merge) and long-range edges ``mean_lr_aff + lr_bias`` (typically
+    negative = mutex constraint), mirroring the voxel-level mutex
+    watershed's signed-weight semantics at the fragment level.
+
+    The round-3 scale run exposed why both populations are required:
+    scoring only mean short-range affinity centred at 0.5 makes every
+    soft boundary (mean aff > 0.5, typical of refiner-chain outputs)
+    globally attractive with nothing to stop it — voi_merge 15.7 on a
+    125x1250x1250 volume whose in-memory mws measures ~1.2.
+    """
     os.makedirs(lut_dir, exist_ok=True)
-    node_ids, _ = rag.read_nodes()
-    eu, ev, scores = rag.read_edges()
+    node_ids, _ = rag_adj.read_nodes()
     dense = {int(n): i for i, n in enumerate(node_ids)}
-    du = np.array([dense[int(u)] for u in eu], np.uint64)
-    dv = np.array([dense[int(v)] for v in ev], np.uint64)
-    # merge score in [0,1] -> affinity = 1 - score; centre at 0.5 so the
-    # sign decides attraction/repulsion, then scale by the global biases
-    # (GraphMWS global_bias=[attractive, repulsive] capability)
-    aff = 1.0 - np.clip(scores, 0, 1)
-    centred = aff - 0.5
-    weights = np.where(
-        centred > 0,
-        centred * abs(bias_attractive),
-        centred * abs(bias_repulsive),
-    )
+
+    def dense_edges(rag, bias):
+        eu, ev, means = rag.read_edges()
+        keep = [
+            i for i in range(len(eu))
+            if int(eu[i]) in dense and int(ev[i]) in dense
+        ]
+        du = np.array([dense[int(eu[i])] for i in keep], np.uint64)
+        dv = np.array([dense[int(ev[i])] for i in keep], np.uint64)
+        w = np.asarray([means[i] for i in keep], np.float64) + bias
+        return du, dv, w
+
+    du_a, dv_a, w_a = dense_edges(rag_adj, adj_bias)
+    if rag_lr is not None:
+        du_l, dv_l, w_l = dense_edges(rag_lr, lr_bias)
+        du = np.concatenate([du_a, du_l])
+        dv = np.concatenate([dv_a, dv_l])
+        weights = np.concatenate([w_a, w_l])
+    else:  # no long-range population recorded (e.g. 3-offset nets)
+        du, dv, weights = du_a, dv_a, w_a
     labels = native.mutex_watershed_edges(len(node_ids), du, dv, weights)
     segments = node_ids[labels.astype(np.int64)]
     path = os.path.join(lut_dir, "seg_frags2local_mws.npz")
@@ -878,10 +1019,18 @@ def mws_pipeline_blockwise(
 
     frag_path = f"{output_container}/fragments_mws"
     rag_path = f"{output_container}/rag_mws.db"
+    lr_rag_path = f"{output_container}/rag_mws_lr.db"
     db_cfg = (
         {"table_prefix": "rag_mws", **db}
         if db
         else {"db_file": rag_path}
+    )
+    # the long-range (repulsive) edge population lives in its own
+    # table/file so both back-ends keep the simple (u,v,score) schema
+    lr_cfg = (
+        {**db, "table_prefix": "rag_mws_lr"}
+        if db
+        else {"db_file": lr_rag_path}
     )
     # Idempotent under crash-respawn of shard 0 (see waterz pipeline).
     setup_done = bool(led) and led.count_done("setup_mws", [0]) > 0
@@ -891,6 +1040,7 @@ def mws_pipeline_blockwise(
             chunk_shape=chunk,
         )
         rag = open_rag(db_cfg, mode="w")
+        rag_lr = open_rag(lr_cfg, mode="w")
         prepare_ds(
             seg_path, vox_shape, total.offset, vs, np.uint64,
             chunk_shape=chunk,
@@ -902,6 +1052,7 @@ def mws_pipeline_blockwise(
             led.wait_for("setup_mws", [0])
         fragments = open_ds(frag_path, mode="r+")
         rag = open_rag(db_cfg, mode="r+")
+        rag_lr = open_rag(lr_cfg, mode="r+")
 
     extract_fragments_blockwise(
         affs, fragments, rag, block_shape, context_voxels,
@@ -912,16 +1063,27 @@ def mws_pipeline_blockwise(
         block_stride=block_stride, block_offset=block_offset,
         ledger=ledger, task_name="extract_fragments_mws",
     )
-    agglomerate_blockwise(
-        affs, fragments, rag, block_shape, context_voxels,
-        merge_function="mean", num_workers=num_workers, roi=total,
+    mws_agglomerate_blockwise(
+        affs, fragments, rag, rag_lr, neighborhood,
+        block_shape, context_voxels,
+        num_workers=num_workers, roi=total,
         block_stride=block_stride, block_offset=block_offset,
         ledger=ledger, task_name="agglomerate_mws",
     )
+    # the global graph reuses the voxel-level per-channel biases at the
+    # fragment level: one global bias per edge population
+    is_lr = [max(abs(int(o)) for o in off) > 1 for off in neighborhood]
+    adj_b = [b for b, l in zip(bias, is_lr) if not l]
+    lr_b = [b for b, l in zip(bias, is_lr) if l]
     lut_dir = f"{output_container}/luts_mws"
     luts_done = bool(led) and led.count_done("luts_mws", [0]) > 0
     if (not sharded or block_offset == 0) and not luts_done:
-        luts = global_mutex_segments(rag, lut_dir)
+        luts = global_mutex_segments(
+            rag, lut_dir,
+            rag_lr=rag_lr if any(is_lr) else None,
+            adj_bias=float(np.mean(adj_b)) if adj_b else -0.4,
+            lr_bias=float(np.mean(lr_b)) if lr_b else -0.7,
+        )
         if led:
             led.mark_done("luts_mws", 0)
     else:

@@ -543,3 +543,67 @@ def test_multi_volume_blockwise_not_shadowed(tmp_path):
     # vol_2 really went blockwise (fragments dataset is blockwise-only)
     assert _os.path.exists(str(tmp_path / "m2.zarr/fragments_ws"))
     assert not _os.path.exists(str(tmp_path / "m1.zarr/fragments_ws"))
+
+
+def test_mws_blockwise_soft_affinities_no_overmerge(tmp_path):
+    """Regression for the round-3 scale-run over-merge (voi_merge 15.7
+    on a 125x1250x1250 volume): refiner-chain outputs have SOFT
+    boundaries (mean short-range affinity > 0.5), which the old
+    single-population global step scored as globally attractive — the
+    long-range repulsive population is what stops them. Blockwise mws
+    must stay close to the in-memory result on such affinities."""
+    from bootstrapper_tpu.post.segment import (
+        MWS_DEFAULT_BIAS,
+        MWS_DEFAULT_NEIGHBORHOOD,
+        mws_segmentation,
+    )
+
+    gt = _gt_volume(shape=(8, 48, 48))
+    nbhd = MWS_DEFAULT_NEIGHBORHOOD
+    rng = np.random.default_rng(3)
+    affs = np.zeros((len(nbhd), *gt.shape), np.float32)
+    for ci, off in enumerate(nbhd):
+        src = tuple(
+            slice(max(0, -o), s - max(0, o)) for o, s in zip(off, gt.shape)
+        )
+        dst = tuple(
+            slice(max(0, o), s - max(0, -o)) for o, s in zip(off, gt.shape)
+        )
+        same = gt[src] == gt[dst]
+        long_range = max(abs(o) for o in off) > 1
+        # soft boundaries: short-range cross-object affinity ABOVE 0.5
+        hi, lo = (0.85, 0.55) if not long_range else (0.75, 0.15)
+        affs[ci][src] = np.where(same, hi, lo)
+    affs += rng.normal(0, 0.02, affs.shape).astype(np.float32)
+    affs = np.clip(affs, 0, 1)
+
+    ref = mws_segmentation(
+        affs, nbhd, MWS_DEFAULT_BIAS, sigma=None, noise_eps=None,
+        strides=None, randomized_strides=False,
+    )
+    ref_voi = rand_voi(gt, ref)
+    assert ref_voi["voi_split"] + ref_voi["voi_merge"] < 0.2
+
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/soft_affs"), affs.shape, (0, 0, 0),
+        (1, 1, 1), np.uint8,
+    )
+    ds[ds.roi] = (affs * 255).astype(np.uint8)
+    segs = mws_pipeline_blockwise(
+        str(tmp_path / "v.zarr/soft_affs"),
+        str(tmp_path / "v.zarr"),
+        neighborhood=nbhd,
+        bias=MWS_DEFAULT_BIAS,
+        block_shape=(8, 24, 24),
+        context_voxels=(1, 6, 6),
+        filter_fragments=0.0,
+        noise_eps=None,
+        sigma=None,
+        num_workers=2,
+    )
+    out = open_ds(segs["mws"]).to_ndarray()
+    scores = rand_voi(gt, out)
+    # the old single-population global step merges the three objects
+    # into one here (voi_merge ~1.5, voi_split ~0)
+    assert scores["voi_merge"] < 0.3, scores
+    assert scores["voi_split"] + scores["voi_merge"] < 0.5, scores
