@@ -95,16 +95,20 @@ sys.path.insert(0, {here!r})
 import jax, jax.numpy as jnp
 from bootstrapper_tpu.models import fold as F
 
-def loss(w1, w2, xf):
-    y = F.folded_conv(xf, w1, None, compute_dtype=jnp.bfloat16)
+def loss(w1, w2, b1, b2, xf):
+    y = F.folded_conv(xf, w1, b1, compute_dtype=jnp.bfloat16)
     y = F.folded_pool_122(y)
-    y = F.folded_conv(y, w2, None, compute_dtype=jnp.bfloat16)
+    y = F.folded_conv(y, w2, b2, compute_dtype=jnp.bfloat16)
     return jnp.sum(y.astype(jnp.float32) ** 2)
 
 w1 = jnp.zeros((1, 3, 3, 4, 8), jnp.float32)
 w2 = jnp.zeros((1, 3, 3, 8, 8), jnp.float32)
-xf = jnp.zeros((1, 4, 32, 32, 16), jnp.float32)
-jax.jit(jax.grad(loss)).lower(w1, w2, xf).compile()
+b1 = jnp.zeros((8,), jnp.float32)
+b2 = jnp.zeros((8,), jnp.float32)
+# folded 3-tap is 2-tap over folded positions: 35 -> 34, even for the
+# folded (1,2,2) pool's 2x2 reshape
+xf = jnp.zeros((1, 4, 35, 35, 16), jnp.float32)
+jax.jit(jax.grad(loss)).lower(w1, w2, b1, b2, xf).compile()
 print("COMPILED_OK")
 """,
     # minimal folded conv at the real training tile's folded geometry
@@ -118,7 +122,7 @@ def loss(w, b, xf):
     y = F.folded_conv(xf, w, b, compute_dtype=jnp.bfloat16)
     return jnp.sum(y.astype(jnp.float32) ** 2)
 
-w = jnp.zeros((1, 3, 3, 4, 48), jnp.float32)
+w = jnp.zeros((1, 3, 3, 1, 48), jnp.float32)  # unfolded 1-ch raw -> 48
 b = jnp.zeros((48,), jnp.float32)
 xf = jnp.zeros((1, 32, 98, 98, 4), jnp.float32)  # (32,196,196) folded
 jax.jit(jax.grad(loss)).lower(w, b, xf).compile()
