@@ -299,9 +299,11 @@ def find_segments(
     os.makedirs(lut_dir, exist_ok=True)
     node_ids, _ = rag.read_nodes()
     eu, ev, scores = rag.read_edges()
-    dense = {int(n): i for i, n in enumerate(node_ids)}
-    du = np.array([dense[int(u)] for u in eu], np.uint64)
-    dv = np.array([dense[int(v)] for v in ev], np.uint64)
+    # vectorised id -> dense index (see global_mutex_segments)
+    order = np.argsort(node_ids)
+    sorted_ids = node_ids[order]
+    du = order[np.searchsorted(sorted_ids, eu)].astype(np.uint64)
+    dv = order[np.searchsorted(sorted_ids, ev)].astype(np.uint64)
     paths = {}
     for t in thresholds:
         comps = native.connected_components_edges(
@@ -462,17 +464,23 @@ def global_mutex_segments(
     """
     os.makedirs(lut_dir, exist_ok=True)
     node_ids, _ = rag_adj.read_nodes()
-    dense = {int(n): i for i, n in enumerate(node_ids)}
+    order = np.argsort(node_ids)
+    sorted_ids = node_ids[order]
 
     def dense_edges(rag, bias):
+        # vectorised id -> dense index: CREMI-scale RAGs carry millions
+        # of edges, far too many for per-edge dict lookups on slow hosts
         eu, ev, means = rag.read_edges()
-        keep = [
-            i for i in range(len(eu))
-            if int(eu[i]) in dense and int(ev[i]) in dense
-        ]
-        du = np.array([dense[int(eu[i])] for i in keep], np.uint64)
-        dv = np.array([dense[int(ev[i])] for i in keep], np.uint64)
-        w = np.asarray([means[i] for i in keep], np.float64) + bias
+        pu = np.searchsorted(sorted_ids, eu)
+        pv = np.searchsorted(sorted_ids, ev)
+        keep = (
+            (pu < len(sorted_ids)) & (pv < len(sorted_ids))
+        )
+        keep &= (sorted_ids[np.minimum(pu, len(sorted_ids) - 1)] == eu)
+        keep &= (sorted_ids[np.minimum(pv, len(sorted_ids) - 1)] == ev)
+        du = order[pu[keep]].astype(np.uint64)
+        dv = order[pv[keep]].astype(np.uint64)
+        w = np.asarray(means, np.float64)[keep] + bias
         return du, dv, w
 
     du_a, dv_a, w_a = dense_edges(rag_adj, adj_bias)
