@@ -338,6 +338,17 @@ def fragment_pair_means(
     pairs; pairs involving background (0) are dropped.
     """
     shape = frags.shape
+    pair_dtype = np.dtype([("u", np.uint64), ("v", np.uint64)])
+
+    def unique_pairs(a, b):
+        # structured-view unique: lexsorts the (u,v) records directly —
+        # much faster than np.unique(axis=0)'s generic path on the
+        # multi-million-pair blocks of a CREMI-scale volume
+        rec = np.empty(len(a), pair_dtype)
+        rec["u"], rec["v"] = a, b
+        uniq, inv = np.unique(rec, return_inverse=True)
+        return uniq, inv
+
     acc: Dict[str, list] = {"adj": [], "lr": []}
     for ci, off in enumerate(neighborhood):
         group = "lr" if max(abs(int(o)) for o in off) > 1 else "adj"
@@ -356,10 +367,7 @@ def fragment_pair_means(
         if not m.any():
             continue
         u, v, w = u[m], v[m], w[m]
-        a = np.minimum(u, v)
-        b = np.maximum(u, v)
-        pairs = np.stack([a, b], axis=1)
-        uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
+        uniq, inv = unique_pairs(np.minimum(u, v), np.maximum(u, v))
         sums = np.bincount(inv, weights=w, minlength=len(uniq))
         counts = np.bincount(inv, minlength=len(uniq))
         acc[group].append((uniq, sums, counts))
@@ -374,12 +382,12 @@ def fragment_pair_means(
         allp = np.concatenate([p[0] for p in parts])
         alls = np.concatenate([p[1] for p in parts])
         allc = np.concatenate([p[2] for p in parts])
-        uniq, inv = np.unique(allp, axis=0, return_inverse=True)
+        uniq, inv = np.unique(allp, return_inverse=True)
         sums = np.bincount(inv, weights=alls, minlength=len(uniq))
         counts = np.bincount(inv, weights=allc, minlength=len(uniq))
         out[group] = (
-            uniq[:, 0].astype(np.uint64),
-            uniq[:, 1].astype(np.uint64),
+            uniq["u"].astype(np.uint64),
+            uniq["v"].astype(np.uint64),
             sums / np.maximum(counts, 1),
         )
     return out
