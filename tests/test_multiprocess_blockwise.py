@@ -464,3 +464,37 @@ def test_multihost_simulation_dirledger_pg(tmp_path, monkeypatch):
     # the RAG really went through the pg backend, markers through the dir
     assert (tmp_path / "fakepg_multihost.sqlite").exists()
     assert (tmp_path / "mh.zarr/ledger.d").is_dir()
+
+
+@pytest.mark.slow
+def test_sharded_mws_matches_single_process(affs_zarr):
+    """The mutex pipeline's two RAG edge populations (adj + lr) must
+    survive the crash-isolated sharded-worker path: same fragments and
+    the same global mutex segmentation as the single-process run."""
+    from bootstrapper_tpu.core.arrays import open_ds
+    from bootstrapper_tpu.post.blockwise_seg import mws_pipeline_blockwise
+
+    affs_path, root = affs_zarr
+    kw = dict(
+        neighborhood=[[-1, 0, 0], [0, -1, 0], [0, 0, -1]],
+        bias=[-0.4, -0.4, -0.4],
+        block_shape=(4, 32, 32),
+        context_voxels=(1, 4, 4),
+        filter_fragments=0.0,
+        noise_eps=None,
+        sigma=None,
+        num_workers=2,
+    )
+    single = mws_pipeline_blockwise(
+        affs_path, f"{root}/mws_single.zarr", **kw
+    )
+    multi = mws_pipeline_blockwise(
+        affs_path, f"{root}/mws_multi.zarr", workers=2, **kw
+    )
+    s1 = open_ds(single["mws"]).to_ndarray()
+    s2 = open_ds(multi["mws"]).to_ndarray()
+    # identical partitions up to label renaming: compare co-partitions
+    from bootstrapper_tpu.eval.voi import rand_voi
+
+    scores = rand_voi(s1, s2)
+    assert scores["voi_split"] + scores["voi_merge"] < 1e-6, scores
