@@ -222,8 +222,19 @@ class Predictor:
 
         from ..utils.xla import bs_jit, tpu_default_options
 
+        is_image = "raw" in model.net_config.get("inputs", {"raw": {}})
+        self._is_image = is_image
+
         @bs_jit(compiler_options=tpu_default_options())
         def forward(params, x):
+            if x.dtype == jnp.uint8:
+                # raw-byte transfer: tiles ship as stored uint8 (4x less
+                # host->device traffic than float32) and normalise here,
+                # in float32 so the result is bit-identical to the host
+                # normalize_raw path
+                x = x.astype(jnp.float32) / 255.0
+                if is_image:
+                    x = x * 2.0 - 1.0
             outs = model2.apply(params, x)
             # to uint8 on device: round(clip(y)*255)
             return {
@@ -250,24 +261,29 @@ class Predictor:
         stay in [0,1], reference ``3d_affs_from_2d_mtlsd/predict.py:158-162``).
         """
         inputs = raw if isinstance(raw, (list, tuple)) else [raw]
-        is_image = "raw" in self.model.net_config.get("inputs", {"raw": {}})
+        is_image = self._is_image
         total = roi if roi is not None else next(iter(outputs.values())).roi
         tiles = tile_rois(total, self.output_size)
         B = self.batch_tiles
         t0 = time.perf_counter()
+        # all-uint8 inputs ship as raw bytes; the jitted forward
+        # normalises on device (same float32 math, 4x less transfer)
+        device_norm = all(a.dtype == np.uint8 for a in inputs)
 
         def read_tile(write_roi):
             read_roi = write_roi.grow(self.context, self.context)
             chans = []
             for arr in inputs:
-                x = normalize_raw(arr.to_ndarray(read_roi, pad_mode="reflect"))
+                x = arr.to_ndarray(read_roi, pad_mode="reflect")
+                if not device_norm:
+                    x = normalize_raw(x)
                 if x.ndim == 3:  # no channel dim -> add one (channels last)
                     x = x[..., None]
                 else:  # (C, z, y, x) storage -> channels last
                     x = np.moveaxis(x, 0, -1)
                 chans.append(x)
             x = np.concatenate(chans, axis=-1)
-            if is_image:
+            if is_image and not device_norm:
                 x = x * 2.0 - 1.0
             return x
 

@@ -311,3 +311,32 @@ def test_batch_tiles_auto_defaults():
     p2b = Predictor(m2, m2.init(jax.random.PRNGKey(0)), (50, 8, 8),
                     batch_tiles=4)
     assert p2b.batch_tiles == 4
+
+
+def test_uint8_raw_byte_transfer_is_exact(tmp_path):
+    """All-uint8 inputs ship as raw bytes and normalise on device in
+    float32 — outputs must be bit-identical to the host-normalised
+    float path (same IEEE ops, different placement)."""
+    vs = (40, 4, 4)
+    shape = (16, 32, 32)
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 255, shape, dtype=np.uint8)
+
+    raw8 = prepare_ds(str(tmp_path / "t.zarr/raw8"), shape, (0, 0, 0),
+                      vs, np.uint8)
+    raw8[raw8.roi] = vals
+    rawf = prepare_ds(str(tmp_path / "t.zarr/rawf"), shape, (0, 0, 0),
+                      vs, np.float32)
+    rawf[rawf.roi] = vals.astype(np.float32) / 255.0
+
+    model = _tiny_3d_model()
+    params = model.init(jax.random.PRNGKey(0))
+    pred = Predictor(model, params, vs, batch_tiles=2)
+
+    outs = {}
+    for name, src in (("u8", raw8), ("f32", rawf)):
+        o = prepare_ds(str(tmp_path / f"t.zarr/affs_{name}"),
+                       (3, *shape), (0, 0, 0), vs, np.uint8)
+        pred.predict(src, {"3d_affs": o})
+        outs[name] = o[o.roi]
+    np.testing.assert_array_equal(outs["u8"], outs["f32"])

@@ -119,8 +119,10 @@ def main():
     t0 = time.time()
     res = run_training(paths["train_2d_mtlsd"])
     timings["train_s"] = round(time.time() - t0, 1)
+    loss = res["final_loss"]  # None when auto-resume found a finished run
     print(f"2d_mtlsd trained {args.iters} iters: loss "
-          f"{res['final_loss']:.4f} ({timings['train_s']}s)", flush=True)
+          f"{'resumed-complete' if loss is None else f'{loss:.4f}'} "
+          f"({timings['train_s']}s)", flush=True)
 
     # ---- chained prediction at scale ---------------------------------
     t0 = time.time()
