@@ -22,12 +22,21 @@ _lib = None
 
 
 def _build():
+    # compile to a process-unique temp name + atomic rename: concurrent
+    # worker processes may all notice a stale binary at once, and two
+    # g++ -o writes interleaving on the same path would corrupt it
     os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-        _SRC, "-o", _LIB,
+        _SRC, "-o", tmp,
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def get_lib() -> ctypes.CDLL:
@@ -70,6 +79,14 @@ def get_lib() -> ctypes.CDLL:
             ctypes.c_double, u64, u64p,
         ]
         lib.mutex_watershed_dense.restype = u64
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.contingency_build.argtypes = [
+            u64p, u64p, u64, ctypes.c_int, u64p, u64p, u64p, u64p
+        ]
+        lib.contingency_build.restype = ctypes.c_void_p
+        lib.contingency_fetch.argtypes = [
+            ctypes.c_void_p, u64p, u64p, u32p, u32p, u64p
+        ]
         _lib = lib
         return _lib
 
@@ -271,6 +288,44 @@ def _parse_merge_function(name: str):
         q = int(rest.replace("_initmax", ""))
         return 1, q, initmax
     raise ValueError(f"unknown merge function {name!r}")
+
+
+def pair_contingency(gt, seg, ignore_gt_zero=True):
+    """Sparse contingency table of two uint64 label arrays in one O(n)
+    hashing pass (funlib.evaluate rand_voi capability — the reference
+    outsources this hot loop to funlib's C++ too).
+
+    Returns ``(gt_ids, seg_ids, pair_gi, pair_sj, pair_counts, kept)``:
+    distinct ids in first-seen order, dense pair indices into them,
+    per-pair voxel counts, and the number of voxels counted (after the
+    gt==0 skip)."""
+    lib = get_lib()
+    gt = np.ascontiguousarray(np.asarray(gt).reshape(-1), np.uint64)
+    seg = np.ascontiguousarray(np.asarray(seg).reshape(-1), np.uint64)
+    if gt.size != seg.size:
+        raise ValueError(f"shape mismatch: {gt.size} vs {seg.size}")
+    n_pairs = ctypes.c_uint64()
+    n_gt = ctypes.c_uint64()
+    n_seg = ctypes.c_uint64()
+    kept = ctypes.c_uint64()
+    handle = lib.contingency_build(
+        _p(gt, ctypes.c_uint64), _p(seg, ctypes.c_uint64),
+        ctypes.c_uint64(gt.size), ctypes.c_int(1 if ignore_gt_zero else 0),
+        ctypes.byref(n_pairs), ctypes.byref(n_gt), ctypes.byref(n_seg),
+        ctypes.byref(kept),
+    )
+    gt_ids = np.empty(n_gt.value, np.uint64)
+    seg_ids = np.empty(n_seg.value, np.uint64)
+    pair_gi = np.empty(n_pairs.value, np.uint32)
+    pair_sj = np.empty(n_pairs.value, np.uint32)
+    pair_counts = np.empty(n_pairs.value, np.uint64)
+    lib.contingency_fetch(
+        handle,
+        _p(gt_ids, ctypes.c_uint64), _p(seg_ids, ctypes.c_uint64),
+        _p(pair_gi, ctypes.c_uint32), _p(pair_sj, ctypes.c_uint32),
+        _p(pair_counts, ctypes.c_uint64),
+    )
+    return gt_ids, seg_ids, pair_gi, pair_sj, pair_counts, int(kept.value)
 
 
 def replace_values(arr, lut_old, lut_new):

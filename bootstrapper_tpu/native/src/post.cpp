@@ -684,6 +684,104 @@ uint64_t mutex_watershed_dense(
     return K;
 }
 
+// ---------------------------------------------------------------------------
+// sparse (gt, seg) contingency table (funlib.evaluate rand_voi capability)
+// ---------------------------------------------------------------------------
+
+// One pass over the paired label volumes, hashing each label to a
+// dense index on first sight and counting (gt, seg) co-occurrences.
+// Replaces three full np.unique sorts of the volume (O(n log n) with
+// big constants) with O(n) hashing — the reference outsources this
+// exact hot loop to funlib.evaluate's C++ for the same reason.
+//
+// Two-call protocol (ctypes-friendly, output sizes unknown upfront):
+// build returns an opaque handle + counts, fetch copies the arrays out
+// and frees the handle.
+struct Contingency {
+    std::vector<uint64_t> gt_ids, seg_ids;      // first-seen order
+    std::vector<uint32_t> pair_gi, pair_sj;     // dense pair indices
+    std::vector<uint64_t> pair_counts;
+    uint64_t kept = 0;
+};
+
+void* contingency_build(
+    const uint64_t* gt, const uint64_t* seg, uint64_t n,
+    int ignore_gt_zero,
+    uint64_t* out_n_pairs, uint64_t* out_n_gt, uint64_t* out_n_seg,
+    uint64_t* out_kept) {
+    auto* c = new Contingency();
+    std::unordered_map<uint64_t, uint32_t> gmap, smap;
+    std::unordered_map<uint64_t, uint64_t> pmap;  // (gi<<32)|sj -> slot
+    gmap.reserve(1024);
+    smap.reserve(1024);
+    pmap.reserve(4096);
+    // run-length fast path: label volumes are spatially coherent, so
+    // consecutive voxels usually repeat the same (gt, seg) pair — count
+    // the run directly and hash only at pair boundaries
+    uint64_t prev_g = ~(uint64_t)0, prev_s = ~(uint64_t)0;
+    uint64_t prev_slot = 0;
+    uint32_t prev_gi = 0;
+    bool have_prev = false;
+    for (uint64_t i = 0; i < n; i++) {
+        const uint64_t g = gt[i];
+        if (ignore_gt_zero && g == 0) continue;
+        const uint64_t s = seg[i];
+        if (have_prev && g == prev_g && s == prev_s) {
+            c->pair_counts[prev_slot]++;
+            c->kept++;
+            continue;
+        }
+        uint32_t gi;
+        if (have_prev && g == prev_g) {
+            gi = prev_gi;
+        } else {
+            auto gi_it = gmap.emplace(g, (uint32_t)c->gt_ids.size());
+            if (gi_it.second) c->gt_ids.push_back(g);
+            gi = gi_it.first->second;
+        }
+        auto sj_it = smap.emplace(s, (uint32_t)c->seg_ids.size());
+        if (sj_it.second) c->seg_ids.push_back(s);
+        const uint32_t sj = sj_it.first->second;
+        const uint64_t key = ((uint64_t)gi << 32) | sj;
+        auto p_it = pmap.emplace(key, c->pair_counts.size());
+        if (p_it.second) {
+            c->pair_gi.push_back(gi);
+            c->pair_sj.push_back(sj);
+            c->pair_counts.push_back(1);
+        }
+        prev_slot = p_it.first->second;
+        if (!p_it.second) c->pair_counts[prev_slot]++;
+        prev_g = g;
+        prev_s = s;
+        prev_gi = gi;
+        have_prev = true;
+        c->kept++;
+    }
+    *out_n_pairs = c->pair_counts.size();
+    *out_n_gt = c->gt_ids.size();
+    *out_n_seg = c->seg_ids.size();
+    *out_kept = c->kept;
+    return c;
+}
+
+void contingency_fetch(
+    void* handle,
+    uint64_t* gt_ids, uint64_t* seg_ids,
+    uint32_t* pair_gi, uint32_t* pair_sj, uint64_t* pair_counts) {
+    auto* c = (Contingency*)handle;
+    std::memcpy(gt_ids, c->gt_ids.data(),
+                c->gt_ids.size() * sizeof(uint64_t));
+    std::memcpy(seg_ids, c->seg_ids.data(),
+                c->seg_ids.size() * sizeof(uint64_t));
+    std::memcpy(pair_gi, c->pair_gi.data(),
+                c->pair_gi.size() * sizeof(uint32_t));
+    std::memcpy(pair_sj, c->pair_sj.data(),
+                c->pair_sj.size() * sizeof(uint32_t));
+    std::memcpy(pair_counts, c->pair_counts.data(),
+                c->pair_counts.size() * sizeof(uint64_t));
+    delete c;
+}
+
 // Apply a LUT (old ids -> new ids) to a uint64 array. LUT given as two
 // sorted-by-old arrays; ids not present map to themselves.
 void replace_values(

@@ -104,6 +104,38 @@ class TestVoiGoldens:
         assert r["voi_split"] == pytest.approx(split, abs=1e-9)
         assert r["voi_merge"] == pytest.approx(merge, abs=1e-9)
 
+    @pytest.mark.parametrize("seed", [0, 7])
+    def test_native_contingency_matches_numpy(self, seed):
+        # the native one-pass hash builder (incl. its run-length fast
+        # path) must agree exactly with the numpy unique-sort fallback
+        from bootstrapper_tpu.eval import voi as voi_mod
+
+        rng = np.random.default_rng(seed)
+        # coherent runs exercise the fast path; random tail the slow one
+        runs = np.repeat(
+            rng.integers(0, 9, 200).astype(np.uint64), 13
+        )
+        gt = np.concatenate(
+            [runs, rng.integers(0, 9, 300).astype(np.uint64)]
+        )
+        seg = np.concatenate(
+            [
+                np.repeat(rng.integers(1, 12, 200).astype(np.uint64), 13),
+                rng.integers(1, 12, 300).astype(np.uint64),
+            ]
+        ) * np.uint64(2**33)
+        a = rand_voi(gt, seg)
+        orig = voi_mod._contingency
+        voi_mod._contingency = (
+            lambda g, s, z: voi_mod._contingency_numpy(g, s, z)
+        )
+        try:
+            b = rand_voi(gt, seg)
+        finally:
+            voi_mod._contingency = orig
+        for k in a:
+            assert a[k] == pytest.approx(b[k], abs=1e-12), k
+
 
 def straight_skeleton(n_nodes, edge_len=10.0):
     g = nx.Graph()
