@@ -149,6 +149,10 @@ def dataset_layer(
         off = off[1:]
         vs = vs[1:]
     elif is_2d and ds_name == "raw" and len(shape) == 4 and len(vs) == 3:
+        # trim the z entry from BOTH voxel size and offset, else the
+        # world->voxel conversion below pairs (z_off, vy)/(y_off, vx)
+        # and drops x, displacing the raw layer under nonzero offsets
+        off = off[1:]
         vs = vs[1:]
     vox = [int(o / v) for o, v in zip(off, vs)]
     voxel_offset = ([0, 0] if is_2d else [0]) + vox
@@ -178,7 +182,12 @@ def snapshot_view_spec(
     names = list(datasets)
     first = names[0]
     raw_shape = datasets.get("raw", datasets[first])[0]
-    is_2d = detect_2d(raw_shape, datasets[first][0])
+    # compare raw against a PREDICTION dataset: snapshot_metadata moves
+    # ``raw`` to the front, so ``first`` is usually raw itself and
+    # detect_2d(raw, raw) would never fire for 2D snapshots (4-D raw
+    # vs 5-D (b,c,1,y,x) preds is the signal, view.py:144-152)
+    first_pred = next((n for n in names if n != "raw"), first)
+    is_2d = detect_2d(raw_shape, datasets[first_pred][0])
     vs = list(datasets[first][1])
     spec = ViewSpec(dims=coordinate_space(vs, is_2d), is_2d=is_2d)
     for name, (shape, voxel_size, offset) in datasets.items():

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import logging
 import os
+import socket
 import sqlite3
 import subprocess
 import threading
@@ -161,7 +162,13 @@ class DirLedger:
     def mark_done(self, task: str, block_id: int):
         d = self._task_dir(task)
         final = os.path.join(d, str(int(block_id)))
-        tmp = os.path.join(d, f".tmp.{os.getpid()}.{block_id}")
+        # the temp name must be unique ACROSS HOSTS, not just pids:
+        # two hosts on the same mount can share a pid, and a colliding
+        # tmp path lets host A's cleanup unlink host B's file between
+        # B's open() and os.link(), crashing B with FileNotFoundError
+        tmp = os.path.join(
+            d, f".tmp.{socket.gethostname()}.{os.getpid()}.{block_id}"
+        )
         with open(tmp, "w"):
             pass
         try:

@@ -216,6 +216,11 @@ def mutex_watershed_dense(
         ctypes.c_uint64(int(seed)),
         _p(out, ctypes.c_uint64),
     )
+    if int(k) == 2**64 - 1:  # native sentinel: edge count >= 2^32
+        raise ValueError(
+            "mutex_watershed_dense: total edge count exceeds 32-bit "
+            "indices (too many voxels x offsets); tile the volume"
+        )
     return out.reshape(Z, Y, X), int(k)
 
 

@@ -555,20 +555,37 @@ uint64_t mutex_watershed_dense(
     std::vector<uint32_t> key;  // float bits of |w| (monotonic for w >= 0)
     int64_t doff[128];
     {
-        uint64_t cap = 0;
+        // deterministic = edges kept for sure (strided non-randomized
+        // channels); randomized channels keep ~1/prod(stride) of their
+        // edges, so reserve the EXPECTED count (+4 sd binomial slack),
+        // not the full grid — full-grid reservation over-allocates
+        // ~prod(stride)x (e.g. 10 GB of 99%-unused vectors on a
+        // CREMI-scale volume with (1,10,10)-strided long-range offsets)
+        uint64_t deterministic = 0;
+        double expected = 0.0;
         for (uint64_t c = 0; c < C; c++) {
             const int32_t* o = neighborhood + 3 * c;
             uint64_t vz = (uint64_t)std::max<int64_t>(0, Z - std::abs(o[0]));
             uint64_t vy = (uint64_t)std::max<int64_t>(0, Y - std::abs(o[1]));
             uint64_t vx = (uint64_t)std::max<int64_t>(0, X - std::abs(o[2]));
             const int32_t* s = strides + 3 * c;
+            const double full = (double)vz * vy * vx;
             if (!randomized[c]) {
                 vz = (vz + s[0] - 1) / s[0];
                 vy = (vy + s[1] - 1) / s[1];
                 vx = (vx + s[2] - 1) / s[2];
+                deterministic += vz * vy * vx;
+            } else {
+                const double keep_p =
+                    1.0 / ((double)s[0] * s[1] * s[2]);
+                const double mean = full * keep_p;
+                expected += mean + 4.0 * std::sqrt(mean) + 1024.0;
             }
-            cap += vz * vy * vx;
         }
+        // the sort packs the edge index into the low 32 bits: the
+        // deterministic population alone overflowing is certain failure
+        if (deterministic >= (1ull << 32)) return UINT64_MAX;
+        const uint64_t cap = deterministic + (uint64_t)expected;
         eu.reserve(cap); ec.reserve(cap); key.reserve(cap);
     }
     for (uint64_t c = 0; c < C; c++) {
@@ -614,6 +631,10 @@ uint64_t mutex_watershed_dense(
             }
     }
     const uint64_t E = eu.size();
+    // exact guard: (~key << 32 | i) truncates indices >= 2^32, bleeding
+    // high index bits into the sort key and retrieving wrapped edge ids
+    // — a silently wrong clustering rather than an error
+    if (E >= (1ull << 32)) return UINT64_MAX;
 
     // --- 2. stable LSD radix sort, descending |w| (ascending ~key) ---
     // packed (~key << 32 | edge index); 4 byte passes over the key half

@@ -312,10 +312,11 @@ class TrainingPipeline:
         if artifact_samples:
             from ..train.sampler import ArtifactSampler
 
-            # crop_size is in world units (the artifact volume may have
-            # its own voxel size; the read yields input_tile voxels)
+            # the crop is specified in VOXELS: the artifact volume may
+            # have its own voxel size, and the tile-on-tile blend in the
+            # jitted transform needs exactly input_tile voxels from it
             self.artifact_sampler = ArtifactSampler(
-                artifact_samples, in_size, seed=seed,
+                artifact_samples, self.spec.input_tile, seed=seed,
             )
         self.loader = BatchLoader(
             self._draw, self.batch_size, prefetch, num_threads

@@ -299,11 +299,29 @@ def find_segments(
     os.makedirs(lut_dir, exist_ok=True)
     node_ids, _ = rag.read_nodes()
     eu, ev, scores = rag.read_edges()
-    # vectorised id -> dense index (see global_mutex_segments)
+    # vectorised id -> dense index (see global_mutex_segments). Edges
+    # whose endpoint is missing from the node table (e.g. a partially
+    # written RAG from a crashed run) must be masked out: an unguarded
+    # searchsorted maps a missing id to its insertion-point NEIGHBOUR —
+    # a different fragment — silently merging the wrong fragments (or
+    # indexing past the end for ids above max(node_ids)).
     order = np.argsort(node_ids)
     sorted_ids = node_ids[order]
-    du = order[np.searchsorted(sorted_ids, eu)].astype(np.uint64)
-    dv = order[np.searchsorted(sorted_ids, ev)].astype(np.uint64)
+    pu = np.searchsorted(sorted_ids, eu)
+    pv = np.searchsorted(sorted_ids, ev)
+    keep = (pu < len(sorted_ids)) & (pv < len(sorted_ids))
+    keep &= sorted_ids[np.minimum(pu, len(sorted_ids) - 1)] == eu
+    keep &= sorted_ids[np.minimum(pv, len(sorted_ids) - 1)] == ev
+    if not keep.all():
+        logger.warning(
+            "find_segments: dropping %d/%d edges with endpoints missing "
+            "from the node table (partially written RAG?)",
+            int((~keep).sum()), len(keep),
+        )
+        eu, ev, scores = eu[keep], ev[keep], scores[keep]
+        pu, pv = pu[keep], pv[keep]
+    du = order[pu].astype(np.uint64)
+    dv = order[pv].astype(np.uint64)
     paths = {}
     for t in thresholds:
         comps = native.connected_components_edges(

@@ -1,0 +1,129 @@
+"""Shared predictor machinery: reader thread + one-deep dispatch
+pipeline + ROI-clipped async tile writes.
+
+All three predictors (``scan.Predictor``, ``sharded.ShardedPredictor``,
+``spatial.SpatialPredictor``) run the same loop — a host read-ahead
+thread feeding a queue, a dispatch that keeps exactly one result in
+flight so device compute overlaps the previous item's device->host
+fetch and Zarr writes, and per-output ROI-clipped TensorStore writes.
+It lives here once so pipeline fixes can't diverge between them (the
+reference's analog is the single daisy/gunpowder scan loop each of its
+workers runs, ``predict.py:128-179``).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterable, List, Sequence
+
+import numpy as np
+
+from ..core.arrays import Array
+from ..core.geometry import Coordinate, Roi
+from ..models.model import head_dims
+
+# Cap on in-flight async TensorStore writes: each future pins its data
+# buffer until committed, so an unbounded list grows with volume size.
+# 64 tile-sized uint8 buffers is plenty of write-behind without letting
+# a slow filesystem accumulate the whole prediction in RAM.
+MAX_PENDING_WRITES = 64
+
+
+def run_pipelined(
+    items: Iterable,
+    read: Callable,
+    dispatch: Callable,
+    drain: Callable,
+) -> None:
+    """Reader-thread + one-deep dispatch pipeline.
+
+    ``read(item)`` runs on a daemon thread (host Zarr reads overlap
+    device compute; exceptions tunnel through the queue and re-raise
+    here). ``dispatch(host_array)`` starts device work and returns its
+    (not yet fetched) outputs. ``drain(item, outputs)`` is called one
+    step behind dispatch — the blocking device->host fetch happens
+    there while the next item executes on device — and once more for
+    the final item. Peak device memory grows by one output set.
+    """
+    q: queue.Queue = queue.Queue(maxsize=2)
+
+    def _reader():
+        try:
+            for it in items:
+                q.put((it, read(it)))
+            q.put(None)
+        except Exception as e:  # surfaced in the consumer loop
+            q.put(e)
+
+    threading.Thread(target=_reader, daemon=True).start()
+
+    pending = None
+    while True:
+        got = q.get()
+        if got is None:
+            break
+        if isinstance(got, Exception):
+            raise got
+        item, host_arr = got
+        outs = dispatch(host_arr)
+        if pending is not None:
+            drain(*pending)
+        pending = (item, outs)
+    if pending is not None:
+        drain(*pending)
+
+
+class TileWriter:
+    """ROI-clipped async writes of per-tile model outputs.
+
+    ``outputs`` maps head name -> destination Array; ``outputs_cfg`` is
+    the model's ``net_config["outputs"]`` (for the per-head channel
+    count — device outputs may carry padded channels).
+    """
+
+    def __init__(
+        self,
+        outputs: Dict[str, Array],
+        outputs_cfg: Dict[str, dict],
+        voxel_size: Coordinate,
+    ):
+        self.outputs = outputs
+        self.dims = {k: head_dims(cfg) for k, cfg in outputs_cfg.items()}
+        self.voxel_size = voxel_size
+        self._futures: List = []
+
+    def drain_batch(self, batch_tiles: Sequence[Roi], outs: Dict) -> None:
+        """Fetch one dispatched batch and write every tile of it.
+
+        The ``np.asarray`` here is the blocking device->host fetch the
+        one-deep pipeline hides behind the next batch's device compute.
+        Entries in ``outs`` beyond ``len(batch_tiles)`` are padding
+        (short final batch) and are discarded.
+        """
+        outs = {k: np.asarray(v) for k, v in outs.items()}
+        for j, wroi in enumerate(batch_tiles):
+            for name, arr in self.outputs.items():
+                pred = np.moveaxis(outs[name][j], -1, 0)  # channels-first
+                dest = wroi.intersect(arr.roi)
+                if dest.empty:
+                    continue
+                sl = tuple(
+                    slice(int(a), int(a + s))
+                    for a, s in zip(
+                        (dest.begin - wroi.begin) / self.voxel_size,
+                        Coordinate(dest.shape) / self.voxel_size,
+                    )
+                )
+                data = np.ascontiguousarray(
+                    pred[(slice(None),) + sl][: self.dims[name]]
+                )
+                ssl = (slice(None),) + arr._spatial_slices(dest)
+                self._futures.append(arr.store[ssl].write(data))
+        while len(self._futures) > MAX_PENDING_WRITES:
+            self._futures.pop(0).result()
+
+    def finish(self) -> None:
+        for f in self._futures:
+            f.result()
+        self._futures = []

@@ -294,72 +294,24 @@ class Predictor:
             return np.stack(arrs)
 
         batches = [tiles[i : i + B] for i in range(0, len(tiles), B)]
-        # read-ahead thread: host Zarr reads overlap device compute
-        import queue as _queue
-        import threading as _threading
+        # shared reader-thread + one-deep pipeline + ROI-clipped writes:
+        # dispatch batch i+1 before fetching batch i, so device compute
+        # overlaps the previous batch's device->host transfer + writes
+        # (over the TPU relay the fetch is a multi-hundred-MB round trip)
+        from ._pipeline import TileWriter, run_pipelined
 
-        q: _queue.Queue = _queue.Queue(maxsize=2)
-
-        def _reader():
-            try:
-                for bt in batches:
-                    q.put((bt, read_batch(bt)))
-                q.put(None)
-            except Exception as e:
-                q.put(e)
-
-        _threading.Thread(target=_reader, daemon=True).start()
-
-        write_futures = []
-
-        def drain(batch_tiles, outs):
-            # blocking device->host fetch happens here, one batch behind
-            # the batch currently executing on device
-            outs = {k: np.asarray(v) for k, v in outs.items()}
-            for j, wroi in enumerate(batch_tiles):
-                for name, arr in outputs.items():
-                    pred = outs[name][j]  # (*out_tile, C)
-                    pred = np.moveaxis(pred, -1, 0)  # channels-first storage
-                    dims = head_dims(self.model.net_config["outputs"][name])
-                    dest_roi = wroi.intersect(arr.roi)
-                    if dest_roi.empty:
-                        continue
-                    sl = tuple(
-                        slice(int(a), int(a + s))
-                        for a, s in zip(
-                            (dest_roi.begin - wroi.begin) / self.voxel_size,
-                            Coordinate(dest_roi.shape) / self.voxel_size,
-                        )
-                    )
-                    data = np.ascontiguousarray(
-                        pred[(slice(None),) + sl][:dims]
-                    )
-                    # async TensorStore write; futures drained at the end
-                    ssl = (slice(None),) + arr._spatial_slices(dest_roi)
-                    write_futures.append(arr.store[ssl].write(data))
-
-        # one-deep pipeline: dispatch batch i+1 to the device before
-        # fetching batch i's outputs, so device compute overlaps the
-        # previous batch's device->host transfer + host slicing/writes
-        # (over the TPU relay the fetch is a multi-hundred-MB round
-        # trip). Peak device memory grows by one uint8 output set.
-        pending = None
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            batch_tiles, arrs = item
-            x = jnp.asarray(arrs)
-            outs = self._forward(self.params, x)
-            if pending is not None:
-                drain(*pending)
-            pending = (batch_tiles, outs)
-        if pending is not None:
-            drain(*pending)
-        for f in write_futures:
-            f.result()
+        writer = TileWriter(
+            outputs, self.model.net_config["outputs"], self.voxel_size
+        )
+        run_pipelined(
+            batches,
+            read=read_batch,
+            dispatch=lambda arrs: self._forward(
+                self.params, jnp.asarray(arrs)
+            ),
+            drain=writer.drain_batch,
+        )
+        writer.finish()
         dt = time.perf_counter() - t0
         out_voxels = sum(
             np.prod(np.asarray(t.shape) // np.asarray(self.voxel_size))

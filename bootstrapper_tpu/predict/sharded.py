@@ -25,8 +25,6 @@ TensorStore futures, so chips stay busy while IO streams.
 
 from __future__ import annotations
 
-import queue as _queue
-import threading as _threading
 import time
 from typing import Dict, Optional, Sequence
 
@@ -37,7 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.arrays import Array
 from ..core.geometry import Coordinate, Roi
-from ..models.model import Model, head_dims
+from ..models.model import Model
 from ..train.sampler import normalize_raw
 from .scan import tile_rois
 
@@ -146,64 +144,30 @@ class ShardedPredictor:
             return x
 
         batches = [tiles[i : i + B] for i in range(0, len(tiles), B)]
-        q: _queue.Queue = _queue.Queue(maxsize=2)
 
-        def _reader():
-            try:
-                for bt in batches:
-                    arrs = [read_tile(t) for t in bt]
-                    while len(arrs) < B:
-                        arrs.append(arrs[-1])
-                    q.put((bt, np.stack(arrs)))
-                q.put(None)
-            except Exception as e:
-                q.put(e)
+        def read_batch(bt):
+            arrs = [read_tile(t) for t in bt]
+            while len(arrs) < B:
+                arrs.append(arrs[-1])  # pad batch; extras discarded
+            return np.stack(arrs)
 
-        _threading.Thread(target=_reader, daemon=True).start()
+        # shared reader-thread + one-deep pipeline + ROI-clipped writes
+        # (same machinery as Predictor.predict, ._pipeline)
+        from ._pipeline import TileWriter, run_pipelined
 
-        write_futures = []
-
-        def drain(batch_tiles, outs):
-            # blocking device->host fetch, one batch behind the batch
-            # executing on the mesh (same pipeline as Predictor.predict)
-            outs = {k: np.asarray(v) for k, v in outs.items()}
-            for j, wroi in enumerate(batch_tiles):
-                for name, arr in outputs.items():
-                    pred = np.moveaxis(outs[name][j], -1, 0)
-                    dims = head_dims(self.model.net_config["outputs"][name])
-                    dest = wroi.intersect(arr.roi)
-                    if dest.empty:
-                        continue
-                    sl = tuple(
-                        slice(int(a), int(a + s))
-                        for a, s in zip(
-                            (dest.begin - wroi.begin) / self.voxel_size,
-                            Coordinate(dest.shape) / self.voxel_size,
-                        )
-                    )
-                    data = np.ascontiguousarray(
-                        pred[(slice(None),) + sl][:dims]
-                    )
-                    ssl = (slice(None),) + arr._spatial_slices(dest)
-                    write_futures.append(arr.store[ssl].write(data))
-
-        pending = None
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            batch_tiles, arrs = item
-            x = jax.device_put(jnp.asarray(arrs), self.in_sharding)
-            outs = self._forward(self.params, x)
-            if pending is not None:
-                drain(*pending)
-            pending = (batch_tiles, outs)
-        if pending is not None:
-            drain(*pending)
-        for f in write_futures:
-            f.result()
+        writer = TileWriter(
+            outputs, self.model.net_config["outputs"], self.voxel_size
+        )
+        run_pipelined(
+            batches,
+            read=read_batch,
+            dispatch=lambda arrs: self._forward(
+                self.params,
+                jax.device_put(jnp.asarray(arrs), self.in_sharding),
+            ),
+            drain=writer.drain_batch,
+        )
+        writer.finish()
         dt = time.perf_counter() - t0
         out_voxels = len(tiles) * int(np.prod(self.out_tile))
         return {

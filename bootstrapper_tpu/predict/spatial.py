@@ -29,8 +29,6 @@ from __future__ import annotations
 
 import logging
 import math
-import queue as _queue
-import threading as _threading
 import time
 from typing import Dict, Optional, Sequence
 
@@ -43,7 +41,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.arrays import Array
 from ..core.geometry import Coordinate, Roi
 from ..models import Model
-from ..models.model import head_dims
 from ..train.sampler import normalize_raw
 from .scan import tile_rois
 
@@ -333,59 +330,25 @@ class SpatialShardedPredictor:
         tiles = tile_rois(total, self.output_size)
         t0 = time.perf_counter()
 
-        q: _queue.Queue = _queue.Queue(maxsize=2)
+        # shared reader-thread + one-deep pipeline + ROI-clipped writes
+        # (same machinery as Predictor.predict, ._pipeline); one tile is
+        # a batch of one here — the extra in-flight uint8 output set
+        # stays sharded on device, small next to the activation arena
+        from ._pipeline import TileWriter, run_pipelined
 
-        def _reader():
-            try:
-                for wroi in tiles:
-                    q.put((wroi, self._read_tile(inputs, wroi)))
-                q.put(None)
-            except Exception as e:  # surfaced in the consumer
-                q.put(e)
-
-        _threading.Thread(target=_reader, daemon=True).start()
-
-        write_futures = []
-
-        def drain(wroi, outs):
-            # blocking device->host fetch, one tile behind the tile
-            # executing on the mesh (one extra uint8 output set stays
-            # sharded on device — small next to the activation arena)
-            outs = {k: np.asarray(v) for k, v in outs.items()}
-            for name, arr in outputs.items():
-                pred = np.moveaxis(outs[name][0], -1, 0)
-                dims = head_dims(self.model.net_config["outputs"][name])
-                dest = wroi.intersect(arr.roi)
-                if dest.empty:
-                    continue
-                sl = tuple(
-                    slice(int(a), int(a + s))
-                    for a, s in zip(
-                        (dest.begin - wroi.begin) / self.voxel_size,
-                        Coordinate(dest.shape) / self.voxel_size,
-                    )
-                )
-                data = np.ascontiguousarray(pred[(slice(None),) + sl][:dims])
-                ssl = (slice(None),) + arr._spatial_slices(dest)
-                write_futures.append(arr.store[ssl].write(data))
-
-        pending = None
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            wroi, arr_np = item
-            x = jax.device_put(jnp.asarray(arr_np), self.in_sharding)
-            outs = self._forward(self.params, x)
-            if pending is not None:
-                drain(*pending)
-            pending = (wroi, outs)
-        if pending is not None:
-            drain(*pending)
-        for f in write_futures:
-            f.result()
+        writer = TileWriter(
+            outputs, self.model.net_config["outputs"], self.voxel_size
+        )
+        run_pipelined(
+            tiles,
+            read=lambda wroi: self._read_tile(inputs, wroi),
+            dispatch=lambda arr_np: self._forward(
+                self.params,
+                jax.device_put(jnp.asarray(arr_np), self.in_sharding),
+            ),
+            drain=lambda wroi, outs: writer.drain_batch([wroi], outs),
+        )
+        writer.finish()
         dt = time.perf_counter() - t0
         out_voxels = len(tiles) * int(np.prod(self.out_tile))
         return {

@@ -137,19 +137,23 @@ class ArtifactSampler:
     def __init__(
         self,
         samples: Sequence,  # (artifact Array, alpha-mask Array | None) pairs
-        crop_size: Coordinate,
+        crop_shape: Coordinate,  # VOXELS (the training input tile)
         seed: Optional[int] = None,
     ):
         assert samples, "need at least one artifact sample"
         self.samples = [
             s if isinstance(s, tuple) else (s, None) for s in samples
         ]
-        self.crop_size = Coordinate(crop_size)
+        # the crop is specified in voxels, not world units: the blend
+        # happens tile-on-tile in the jitted transform, so every sample
+        # must yield exactly crop_shape voxels even when the artifact
+        # volume's voxel size differs from the training volume's
+        self.crop_shape = Coordinate(crop_shape)
         self.rng = np.random.default_rng(seed)
         self._rng_lock = threading.Lock()
 
     @classmethod
-    def open(cls, specs: Sequence[dict], crop_size, seed=None):
+    def open(cls, specs: Sequence[dict], crop_shape, seed=None):
         """specs: [{"artifacts": path, "artifacts_mask": path?}, ...]"""
         pairs = [
             (
@@ -159,7 +163,7 @@ class ArtifactSampler:
             )
             for s in specs
         ]
-        return cls(pairs, crop_size, seed=seed)
+        return cls(pairs, crop_shape, seed=seed)
 
     def sample(self) -> dict:
         with self._rng_lock:
@@ -167,12 +171,13 @@ class ArtifactSampler:
                 int(self.rng.integers(0, len(self.samples)))
             ]
             vs = art.voxel_size
-            room = art.roi.shape - self.crop_size
+            crop_size = self.crop_shape * vs  # world units, per volume
+            room = art.roi.shape - crop_size
             begin = Coordinate(
                 0 if r <= 0 else int(self.rng.integers(0, r // v + 1)) * v
                 for r, v in zip(room, vs)
             )
-        roi = Roi(art.roi.offset + begin, self.crop_size)
+        roi = Roi(art.roi.offset + begin, crop_size)
         raw = normalize_raw(art.to_ndarray(roi))
         if msk is not None:
             mask = (msk.to_ndarray(roi) > 0).astype(np.float32)

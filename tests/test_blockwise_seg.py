@@ -46,6 +46,27 @@ def test_rag_db_roundtrip(tmp_path):
     assert s[(u == 1) & (v == 2)][0] == pytest.approx(0.1)
 
 
+def test_find_segments_drops_dangling_edges(tmp_path):
+    """Regression: edges whose endpoints are missing from the node table
+    (partially written RAG after a crash) must be DROPPED, not mapped to
+    a neighbouring fragment id by the unguarded searchsorted (silent
+    wrong merges / IndexError for ids past the table)."""
+    from bootstrapper_tpu.post.blockwise_seg import find_segments
+
+    db = RagDB(str(tmp_path / "rag.db"), mode="w")
+    db.write_nodes([10, 20, 30], np.zeros((3, 3)))
+    # edge (10,20) valid and mergeable; (15,*) and (99,*) dangle —
+    # 15 would previously map to insertion-point neighbour 20, 99 past
+    # the end of the table
+    db.write_edges([10, 15, 99], [20, 30, 30], [0.1, 0.1, 0.1])
+    luts = find_segments(db, str(tmp_path / "luts"), [0.5])
+    lut = np.load(luts[0.5])["fragment_segment_lut"]
+    frags, segs = lut[0], lut[1]
+    m = dict(zip(frags.tolist(), segs.tolist()))
+    assert m[10] == m[20]  # the valid low-score edge merged
+    assert m[30] not in (m[10],)  # the dangling edges did NOT merge 30
+
+
 def test_waterz_blockwise_segments_objects(tmp_path):
     gt = _gt_volume()
     affs_path = _write_affs(tmp_path, gt)

@@ -154,4 +154,12 @@ def test_spatial_volume_matches_single_device(tmp_path):
 
     a = outs1["3d_affs"].to_ndarray()
     b = outs2["3d_affs"].to_ndarray()
-    np.testing.assert_array_equal(a, b)
+    # the slab program (inside shard_map, post-halo) and the tile
+    # program are mathematically identical but separately compiled —
+    # XLA may reassociate float ops differently, so a value sitting
+    # exactly on a x.5 quantization boundary can round either way
+    # (observed: 1/268800 elements off by one after a machine change).
+    # Require equality up to that boundary effect.
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-4

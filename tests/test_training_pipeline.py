@@ -98,6 +98,33 @@ def test_pipeline_with_artifact_source(tmp_path):
     assert sum(ones) >= x.shape[0] // 2
 
 
+def test_artifact_source_with_different_voxel_size(tmp_path):
+    """Regression: the artifact volume may have its OWN voxel size; the
+    sampler must still yield exactly input_tile voxels (the crop is a
+    voxel-shape contract, not a world-units one)."""
+    nc = _small_3d_net()
+    vs = (40, 4, 4)
+    art_vs = (50, 8, 8)  # different resolution artifact volume
+    shape = (16, 64, 64)
+    art = prepare_ds(
+        str(tmp_path / "a.zarr/artifacts"), shape, (0, 0, 0), art_vs,
+        np.float32,
+    )
+    art[art.roi] = np.ones(shape, np.float32)
+    pipe = TrainingPipeline(
+        nc, vs, [_make_sample(tmp_path)], batch_size=1, min_masked=0.0,
+        artifact_samples=[art], prob_artifact=1.0,
+    )
+    try:
+        batch = pipe.next_batch()
+    finally:
+        pipe.stop()
+    x = np.asarray(batch["input"])[0, ..., 0]
+    assert x.shape == (12, 48, 48)
+    ones = [np.allclose(x[z], 1.0) for z in range(x.shape[0])]
+    assert sum(ones) >= x.shape[0] // 2
+
+
 def test_2d_pipeline_batch_shapes(tmp_path):
     nc = _small_2d_net()
     model = Model(nc)

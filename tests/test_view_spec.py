@@ -82,6 +82,14 @@ class TestDatasetLayer:
         assert layer.squeeze_axis is None
         assert layer.shader == RGB_SHADER
 
+    def test_2d_raw_offset_trims_z_with_voxel_size(self):
+        # regression: the z entry must be dropped from offset AND voxel
+        # size together, else (z_off, vy) pairs and x is dropped
+        layer = dataset_layer(
+            "raw", (2, 3, 64, 64), [50, 8, 8], [100, 16, 16], is_2d=True,
+        )
+        assert layer.voxel_offset == [0, 0, 2, 2]
+
     def test_3d_offset_in_voxels(self):
         layer = dataset_layer(
             "pred_affs", (9, 12, 64, 64), [50, 8, 8], [100, 16, 16],
@@ -114,6 +122,32 @@ def test_snapshot_spec_groups_layers():
     assert kinds["pred_affs"] == "image"
     shaders = {l.name: l.shader for l in spec.layers}
     assert shaders["raw"] == RGB_SHADER and shaders["gt_labels"] is None
+
+
+def test_snapshot_spec_detects_2d_with_raw_first():
+    """Regression: snapshot_metadata moves ``raw`` to the front, so the
+    2D check must compare raw against a PREDICTION dataset — comparing
+    raw with itself never fires (the production ``bs view --snapshot``
+    path was stuck 3D for every 2D setup)."""
+    datasets = {
+        "raw": ((2, 3, 64, 64), [50, 8, 8], [0, 0, 0]),
+        "pred_affs": ((2, 6, 1, 64, 64), [50, 8, 8], [0, 0, 0]),
+        "gt_affs": ((2, 6, 1, 64, 64), [50, 8, 8], [0, 0, 0]),
+    }
+    spec = snapshot_view_spec(datasets)
+    assert spec.is_2d is True
+    assert spec.dims.names == ["b", "c^", "y", "x"]
+    layers = {l.name: l for l in spec.layers}
+    assert layers["pred_affs"].squeeze_axis == 2
+    assert layers["pred_affs"].shader == RG_SHADER
+    assert layers["raw"].shader == RGB_SHADER
+
+
+def test_snapshot_spec_raw_only_container():
+    spec = snapshot_view_spec(
+        {"raw": ((12, 64, 64), [50, 8, 8], [0, 0, 0])}
+    )
+    assert spec.is_2d is False
 
 
 def test_snapshot_spec_from_real_snapshot(tmp_path):
