@@ -163,6 +163,12 @@ class Model:
         z = unet_apply(
             params["unet"], x, cfg, self.compute_dtype, return_folded=True
         )[0]
+        return self._heads(params, z)
+
+    def _heads(self, params, z) -> dict:
+        """Apply the per-output 1x1 sigmoid heads to the final U-Net
+        features (possibly still in the 2x2-xy-folded layout)."""
+        cfg = self.unet_config
         folded = self.dims == 3 and z.shape[-1] == 4 * cfg.out_channels
         outs = {}
         for name in self.net_config["outputs"]:
@@ -190,6 +196,20 @@ class Model:
                 y = y[:, None]  # re-insert z axis: (n, 1, h, w, c)
             outs[name] = y
         return outs
+
+    def apply_stream(self, params, x, state):
+        """One overlap-save z-streaming step (see ``models/zstream.py``):
+        returns (outputs dict, new stream state).  ``state=None`` is the
+        warmup step (``x`` carries the full z context); later steps feed
+        ``s`` new z slices and emit ``s`` output slices with zero
+        redundant context compute.  3D setups only."""
+        from .zstream import unet_stream_step
+
+        z, new_state = unet_stream_step(
+            params["unet"], x, state, self.unet_config,
+            self.compute_dtype, return_folded=True,
+        )
+        return self._heads(params, z[0]), new_state
 
 
 def _merge_pf_entries(orig, lifted):

@@ -87,10 +87,16 @@ class TileWriter:
         outputs: Dict[str, Array],
         outputs_cfg: Dict[str, dict],
         voxel_size: Coordinate,
+        clip_roi: Roi = None,
     ):
         self.outputs = outputs
         self.dims = {k: head_dims(cfg) for k, cfg in outputs_cfg.items()}
         self.voxel_size = voxel_size
+        # extra clip for tiles that intentionally overhang the requested
+        # ROI (z-streaming reflect-pads past the volume end rather than
+        # shifting the final step inward, which would break cache
+        # continuity)
+        self.clip_roi = clip_roi
         self._futures: List = []
 
     def drain_batch(self, batch_tiles: Sequence[Roi], outs: Dict) -> None:
@@ -106,6 +112,8 @@ class TileWriter:
             for name, arr in self.outputs.items():
                 pred = np.moveaxis(outs[name][j], -1, 0)  # channels-first
                 dest = wroi.intersect(arr.roi)
+                if self.clip_roi is not None:
+                    dest = dest.intersect(self.clip_roi)
                 if dest.empty:
                     continue
                 sl = tuple(

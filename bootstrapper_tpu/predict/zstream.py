@@ -1,0 +1,229 @@
+"""Z-streaming prediction: overlap-save inference over deep volumes.
+
+The tiled predictor (``scan.Predictor``) recomputes the net's 28-slice
+z context for every tile — 18% of input voxels at the headline tile.
+For volumes deeper than one tile, this predictor walks each xy column
+in z order instead, carrying per-level activation caches on device
+(``models/zstream.py``): after a single warmup tile per column, every
+step converts ``s`` new input slices into ``s`` output slices with zero
+redundant z compute (~7.6% fewer conv FLOPs steady-state).
+
+Semantics: outputs equal the tiled predictor's to within float
+reassociation (valid convs are exact under concatenation; the per-step
+graphs are different XLA executables, so an output value sitting
+exactly on a x.5 uint8 quantization boundary may round one step apart).
+xy handling (tiling, reflect pad, context growth) is identical to
+``scan.Predictor``; the volume's z remainder is covered by
+reflect-padded reads past the end with writes clipped, preserving cache
+continuity (an inward-shifted final tile would need past state).
+
+The reference has no analog — its torch/daisy path recomputes block
+context by construction (``bootstrapper/predict.py:114-132``).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.arrays import Array
+from ..core.geometry import Coordinate, Roi
+from ..models.model import Model
+from ..models.zstream import stream_eligible
+from ..train.sampler import normalize_raw
+from .scan import tile_rois
+
+
+class ZStreamPredictor:
+    """Tiled-xy, streamed-z inference for one 3D setup."""
+
+    def __init__(
+        self,
+        model: Model,
+        params,
+        voxel_size,
+        shape_increase: Optional[Sequence[int]] = None,
+        compute_dtype=jnp.bfloat16,
+    ):
+        if model.dims != 3 or not stream_eligible(model.unet_config):
+            raise ValueError(
+                "z streaming needs a 3D net that never downsamples z; "
+                "use scan.Predictor"
+            )
+        self.model = model
+        self.voxel_size = Coordinate(voxel_size)
+        nc = model.net_config
+        inc = (
+            list(shape_increase)
+            if shape_increase is not None
+            else list(nc.get("shape_increase", [0] * 3))
+        )
+        in_shape = [a + b for a, b in zip(nc["input_shape"], inc)]
+        out_shape = [a + b for a, b in zip(nc["output_shape"], inc)]
+        self.input_tile = tuple(in_shape)
+        self.output_tile = tuple(out_shape)
+        self.s = out_shape[0]  # z slices per steady step
+        self.input_size = Coordinate(self.input_tile) * self.voxel_size
+        self.output_size = Coordinate(self.output_tile) * self.voxel_size
+        self.context = (self.input_size - self.output_size) / 2
+
+        self.params = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(p, compute_dtype), params
+        )
+        model2 = Model(model.net_config, compute_dtype=compute_dtype)
+        self.params = jax.jit(model2.prefold)(self.params)
+
+        from ..utils.xla import bs_jit, tpu_default_options
+
+        is_image = "raw" in model.net_config.get("inputs", {"raw": {}})
+        self._is_image = is_image
+
+        def norm(x):
+            if x.dtype == jnp.uint8:  # raw-byte transfer (see scan.py)
+                x = x.astype(jnp.float32) / 255.0
+                if is_image:
+                    x = x * 2.0 - 1.0
+            return x
+
+        def quant(outs):
+            return {
+                k: jnp.round(jnp.clip(v, 0, 1) * 255).astype(jnp.uint8)
+                for k, v in outs.items()
+            }
+
+        @bs_jit(compiler_options=tpu_default_options())
+        def warm(params, x):
+            outs, st = model2.apply_stream(params, norm(x), None)
+            return quant(outs), st
+
+        @bs_jit(donate_argnums=(2,), compiler_options=tpu_default_options())
+        def steady(params, x, st):
+            outs, st2 = model2.apply_stream(params, norm(x), st)
+            return quant(outs), st2
+
+        self._warm, self._steady = warm, steady
+
+    def _read_z_reflect(self, arr, roi: Roi) -> np.ndarray:
+        """Read ``roi`` reflect-padded about the VOLUME's z boundary.
+
+        ``Array.to_ndarray(pad_mode="reflect")`` reflects about the
+        request's in-bounds segment, so the stream's final small z reads
+        — which overhang the volume end by more than they contain (or
+        entirely) — would reflect about the wrong edge or fall back to
+        constant fill.  The tiled predictor never hits this because its
+        reads always contain the full context.  Extend an overhanging
+        read back into the volume far enough to source the reflection,
+        then slice the z tail (and mirror-handle the volume start)."""
+        vz = self.voxel_size[0]
+        nz = roi.shape[0] // vz
+        end_over = roi.end[0] - arr.roi.end[0]
+        beg_over = arr.roi.begin[0] - roi.begin[0]
+        if end_over <= 0 and beg_over <= 0:
+            return arr.to_ndarray(roi, pad_mode="reflect")
+        b, e = roi.begin[0], roi.end[0]
+        if end_over > 0:  # include >= overhang+1 real slices before end
+            b = min(b, arr.roi.end[0] - end_over - vz)
+        if beg_over > 0:
+            e = max(e, arr.roi.begin[0] + beg_over + vz)
+        ext = Roi(
+            Coordinate((b, *roi.begin[1:])),
+            Coordinate((e - b, *roi.shape[1:])),
+        )
+        x = arr.to_ndarray(ext, pad_mode="reflect")
+        z0 = (roi.begin[0] - b) // vz
+        return x[..., z0 : z0 + nz, :, :]
+
+    def predict(
+        self,
+        raw,
+        outputs: Dict[str, Array],
+        roi: Optional[Roi] = None,
+    ) -> dict:
+        inputs = raw if isinstance(raw, (list, tuple)) else [raw]
+        total = roi if roi is not None else next(iter(outputs.values())).roi
+        device_norm = all(a.dtype == np.uint8 for a in inputs)
+        vz = self.voxel_size[0]
+        step_z = self.s * vz
+        t0 = time.perf_counter()
+
+        # xy tiling identical to scan.Predictor; z walks each column in
+        # steps of s output slices (warmup first, then steady)
+        yx_total = Roi(total.begin[1:], total.shape[1:])
+        yx_tiles = tile_rois(yx_total, Coordinate(self.output_size[1:]))
+        n_steps = max(1, -(-total.shape[0] // step_z))  # ceil
+
+        items = []  # (is_warm, write_roi)
+        for yx in yx_tiles:
+            for k in range(n_steps):
+                zb = total.begin[0] + k * step_z
+                wroi = Roi(
+                    Coordinate((zb, *yx.begin)),
+                    Coordinate((step_z, *yx.shape)),
+                )
+                items.append((k == 0, wroi))
+
+        def read_item(item):
+            is_warm, wroi = item
+            if is_warm:
+                read_roi = wroi.grow(self.context, self.context)
+            else:
+                # steady steps continue the concatenated input stream:
+                # the next s input slices TRAIL the write window by the
+                # right-hand z context (the warmup already consumed
+                # [wroi.z - ctx, wroi.z_prev_end + ctx)), so the read is
+                # the write ROI grown in xy and SHIFTED +ctx in z
+                xy_ctx = Coordinate((0, *self.context[1:]))
+                read_roi = wroi.grow(xy_ctx, xy_ctx).shift(
+                    Coordinate((self.context[0], 0, 0))
+                )
+            chans = []
+            for arr in inputs:
+                x = self._read_z_reflect(arr, read_roi)
+                if not device_norm:
+                    x = normalize_raw(x)
+                x = x[..., None] if x.ndim == 3 else np.moveaxis(x, 0, -1)
+                chans.append(x)
+            x = np.concatenate(chans, axis=-1)
+            if self._is_image and not device_norm:
+                x = x * 2.0 - 1.0
+            return is_warm, x[None]
+
+        from ._pipeline import TileWriter, run_pipelined
+
+        writer = TileWriter(
+            outputs, self.model.net_config["outputs"], self.voxel_size,
+            clip_roi=total,
+        )
+        state = None
+
+        def dispatch(read):
+            nonlocal state
+            is_warm, arr = read
+            x = jnp.asarray(arr)
+            if is_warm:
+                outs, state = self._warm(self.params, x)
+            else:
+                outs, state = self._steady(self.params, x, state)
+            return outs
+
+        run_pipelined(
+            items,
+            read=read_item,
+            dispatch=dispatch,
+            drain=lambda item, outs: writer.drain_batch([item[1]], outs),
+        )
+        writer.finish()
+        state = None  # free the device caches
+        dt = time.perf_counter() - t0
+        out_voxels = len(items) * int(np.prod(self.output_tile))
+        return {
+            "tiles": len(items),
+            "columns": len(yx_tiles),
+            "steps_per_column": n_steps,
+            "seconds": dt,
+            "voxels_per_sec": out_voxels / dt,
+        }

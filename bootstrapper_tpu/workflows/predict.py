@@ -169,13 +169,40 @@ def run_prediction(
                     "sharded inference over %d devices", len(jax.devices())
                 )
             else:
-                predictor = Predictor(
-                    model,
-                    params,
-                    raw.voxel_size,
-                    shape_increase=fit_tile(shape_increase),
-                    batch_tiles=batch_tiles,
-                )
+                predictor = None
+                fitted = fit_tile(shape_increase)
+                if os.environ.get("BS_ZSTREAM", "1") == "1":
+                    # overlap-save z streaming: zero redundant z-context
+                    # compute on volumes deeper than ~2 tiles (see
+                    # predict/zstream.py); falls back to the tiled
+                    # predictor for shallow volumes / 2D / z-pooling nets
+                    from ..models.zstream import stream_eligible
+                    from ..predict.zstream import ZStreamPredictor
+
+                    out_z = model.net_config["output_shape"][0] + (
+                        fitted[0] if model.dims == 3 else 0
+                    )
+                    if (
+                        model.dims == 3
+                        and stream_eligible(model.unet_config)
+                        and out_vox[0] >= 2 * out_z
+                    ):
+                        predictor = ZStreamPredictor(
+                            model, params, raw.voxel_size,
+                            shape_increase=fitted,
+                        )
+                        logger.info(
+                            "z-streaming inference (%d-slice steps)",
+                            predictor.s,
+                        )
+                if predictor is None:
+                    predictor = Predictor(
+                        model,
+                        params,
+                        raw.voxel_size,
+                        shape_increase=fitted,
+                        batch_tiles=batch_tiles,
+                    )
             # keep out roi at least one tile big
             min_size = predictor.output_size
             if any(

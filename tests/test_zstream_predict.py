@@ -1,0 +1,84 @@
+"""ZStreamPredictor end-to-end: streamed-z prediction over a deep
+volume equals the tiled scan.Predictor through the Zarr IO path (up to
+the uint8 x.5 quantization boundary — the step graphs are separate XLA
+programs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bootstrapper_tpu.core.arrays import prepare_ds
+from bootstrapper_tpu.core.geometry import Coordinate, Roi
+from bootstrapper_tpu.models import Model
+from bootstrapper_tpu.predict.scan import Predictor, prepare_prediction_outputs
+from bootstrapper_tpu.predict.zstream import ZStreamPredictor
+
+
+def _tiny_3d_model():
+    nc = dict(Model.from_setup("3d_affs").net_config)
+    nc.update(
+        num_fmaps=2,
+        fmap_inc_factor=2,
+        input_shape=[24, 48, 48],
+        output_shape=[4, 8, 8],
+        shape_increase=[0, 0, 0],
+        downsample_factors=[[1, 2, 2]] * 2,
+        kernel_size_down=[[[3, 3, 3], [3, 3, 3]]] * 3,
+        kernel_size_up=[[[3, 3, 3], [3, 3, 3]]] * 2,
+    )
+    nc["outputs"] = {
+        "3d_affs": {
+            "dtype": "uint8",
+            "dims": 3,
+            "neighborhood": [[-1, 0, 0], [0, -1, 0], [0, 0, -1]],
+            "grow_boundary": 1,
+        }
+    }
+    m = Model(nc)
+    m.validate_shapes()
+    return m
+
+
+def _assert_quant_equal(a, b):
+    diff = np.abs(a.astype(int) - b.astype(int))
+    assert diff.max() <= 1
+    assert (diff != 0).mean() < 1e-3
+
+
+@pytest.mark.parametrize("depth", [20, 22])  # exact multiple + remainder
+def test_zstream_matches_tiled_predictor(tmp_path, depth):
+    model = _tiny_3d_model()
+    params = model.init(__import__("jax").random.PRNGKey(0))
+    vs = (40, 4, 4)
+    shape = (depth, 60, 40)  # > 1 xy tile in y, deep in z
+    raw = prepare_ds(
+        str(tmp_path / "t.zarr/raw"), shape, (0, 0, 0), vs, np.uint8
+    )
+    rng = np.random.default_rng(0)
+    raw[raw.roi] = rng.integers(0, 255, shape, dtype=np.uint8)
+
+    tiled = Predictor(model, params, vs, compute_dtype=jnp.float32)
+    outs1 = prepare_prediction_outputs(
+        str(tmp_path / "a.zarr"), model, raw.roi, vs
+    )
+    tiled.predict(raw, outs1)
+
+    zp = ZStreamPredictor(model, params, vs, compute_dtype=jnp.float32)
+    outs2 = prepare_prediction_outputs(
+        str(tmp_path / "b.zarr"), model, raw.roi, vs
+    )
+    res = zp.predict(raw, outs2)
+    assert res["steps_per_column"] == -(-depth // 4)
+
+    a = outs1["3d_affs"].to_ndarray()
+    b = outs2["3d_affs"].to_ndarray()
+    assert a.shape == b.shape
+    _assert_quant_equal(a, b)
+
+
+def test_zstream_rejects_z_pooling_nets():
+    nc = dict(_tiny_3d_model().net_config)
+    nc["downsample_factors"] = [[2, 2, 2], [1, 2, 2]]
+    nc["input_shape"] = [32, 48, 48]
+    with pytest.raises(ValueError):
+        ZStreamPredictor(Model(nc), {}, (40, 4, 4))
