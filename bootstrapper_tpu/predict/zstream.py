@@ -39,7 +39,16 @@ from .scan import tile_rois
 
 
 class ZStreamPredictor:
-    """Tiled-xy, streamed-z inference for one 3D setup."""
+    """Tiled-xy, streamed-z inference for one 3D setup.
+
+    With ``devices`` given, ``len(devices)`` xy columns stream in
+    lockstep — the column batch, every activation, and the per-level
+    caches are sharded one-column-per-chip over a ``('space',)`` mesh
+    (pure SPMD, no cross-chip communication), so multi-chip inference
+    keeps the zero-redundant-z-compute property instead of falling back
+    to context-recomputing batch-of-tiles sharding
+    (``sharded.ShardedPredictor``).
+    """
 
     def __init__(
         self,
@@ -48,6 +57,7 @@ class ZStreamPredictor:
         voxel_size,
         shape_increase: Optional[Sequence[int]] = None,
         compute_dtype=jnp.bfloat16,
+        devices: Optional[Sequence] = None,
     ):
         if model.dims != 3 or not stream_eligible(model.unet_config):
             raise ValueError(
@@ -79,6 +89,27 @@ class ZStreamPredictor:
 
         from ..utils.xla import bs_jit, tpu_default_options
 
+        self.devices = list(devices) if devices is not None else None
+        self.B = len(self.devices) if self.devices else 1
+        self._in_sharding = None
+        warm_kw: dict = {}
+        steady_kw: dict = {}
+        if self.B > 1:
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            self.mesh = Mesh(np.asarray(self.devices), ("space",))
+            rep = NamedSharding(self.mesh, P())
+            col = NamedSharding(self.mesh, P("space"))
+            self.params = jax.device_put(self.params, rep)
+            self._in_sharding = col
+            # every leaf (input, outputs, enc/dec caches) has the column
+            # batch on axis 0, so a single P('space') prefix shards all
+            warm_kw = dict(in_shardings=(rep, col), out_shardings=(col, col))
+            steady_kw = dict(
+                in_shardings=(rep, col, col), out_shardings=(col, col)
+            )
+
         is_image = "raw" in model.net_config.get("inputs", {"raw": {}})
         self._is_image = is_image
 
@@ -95,12 +126,16 @@ class ZStreamPredictor:
                 for k, v in outs.items()
             }
 
-        @bs_jit(compiler_options=tpu_default_options())
+        @bs_jit(compiler_options=tpu_default_options(), **warm_kw)
         def warm(params, x):
             outs, st = model2.apply_stream(params, norm(x), None)
             return quant(outs), st
 
-        @bs_jit(donate_argnums=(2,), compiler_options=tpu_default_options())
+        @bs_jit(
+            donate_argnums=(2,),
+            compiler_options=tpu_default_options(),
+            **steady_kw,
+        )
         def steady(params, x, st):
             outs, st2 = model2.apply_stream(params, norm(x), st)
             return quant(outs), st2
@@ -150,24 +185,31 @@ class ZStreamPredictor:
         step_z = self.s * vz
         t0 = time.perf_counter()
 
-        # xy tiling identical to scan.Predictor; z walks each column in
-        # steps of s output slices (warmup first, then steady)
+        # xy tiling identical to scan.Predictor; z walks B columns at a
+        # time in lockstep, in steps of s output slices (warmup first,
+        # then steady); B>1 shards one column per device
         yx_total = Roi(total.begin[1:], total.shape[1:])
         yx_tiles = tile_rois(yx_total, Coordinate(self.output_size[1:]))
         n_steps = max(1, -(-total.shape[0] // step_z))  # ceil
+        groups = [
+            yx_tiles[i : i + self.B]
+            for i in range(0, len(yx_tiles), self.B)
+        ]
 
-        items = []  # (is_warm, write_roi)
-        for yx in yx_tiles:
+        items = []  # (is_warm, [write_roi per column in the group])
+        for grp in groups:
             for k in range(n_steps):
                 zb = total.begin[0] + k * step_z
-                wroi = Roi(
-                    Coordinate((zb, *yx.begin)),
-                    Coordinate((step_z, *yx.shape)),
-                )
-                items.append((k == 0, wroi))
+                wrois = [
+                    Roi(
+                        Coordinate((zb, *yx.begin)),
+                        Coordinate((step_z, *yx.shape)),
+                    )
+                    for yx in grp
+                ]
+                items.append((k == 0, wrois))
 
-        def read_item(item):
-            is_warm, wroi = item
+        def read_window(wroi, is_warm):
             if is_warm:
                 read_roi = wroi.grow(self.context, self.context)
             else:
@@ -190,7 +232,14 @@ class ZStreamPredictor:
             x = np.concatenate(chans, axis=-1)
             if self._is_image and not device_norm:
                 x = x * 2.0 - 1.0
-            return is_warm, x[None]
+            return x
+
+        def read_item(item):
+            is_warm, wrois = item
+            arrs = [read_window(w, is_warm) for w in wrois]
+            while len(arrs) < self.B:  # pad group; extras discarded
+                arrs.append(arrs[-1])
+            return is_warm, np.stack(arrs)
 
         from ._pipeline import TileWriter, run_pipelined
 
@@ -204,6 +253,8 @@ class ZStreamPredictor:
             nonlocal state
             is_warm, arr = read
             x = jnp.asarray(arr)
+            if self._in_sharding is not None:
+                x = jax.device_put(x, self._in_sharding)
             if is_warm:
                 outs, state = self._warm(self.params, x)
             else:
@@ -214,16 +265,18 @@ class ZStreamPredictor:
             items,
             read=read_item,
             dispatch=dispatch,
-            drain=lambda item, outs: writer.drain_batch([item[1]], outs),
+            drain=lambda item, outs: writer.drain_batch(item[1], outs),
         )
         writer.finish()
         state = None  # free the device caches
         dt = time.perf_counter() - t0
-        out_voxels = len(items) * int(np.prod(self.output_tile))
+        n_tiles = len(yx_tiles) * n_steps
+        out_voxels = n_tiles * int(np.prod(self.output_tile))
         return {
-            "tiles": len(items),
+            "tiles": n_tiles,
             "columns": len(yx_tiles),
             "steps_per_column": n_steps,
+            "devices": self.B,
             "seconds": dt,
             "voxels_per_sec": out_voxels / dt,
         }

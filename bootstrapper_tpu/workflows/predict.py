@@ -159,15 +159,53 @@ def run_prediction(
             elif sharded:
                 import jax
 
-                from ..predict.sharded import ShardedPredictor
+                predictor = None
+                fitted = fit_tile(shape_increase)
+                n_dev = len(jax.devices())
+                if os.environ.get("BS_ZSTREAM", "1") == "1":
+                    # deep volumes with enough xy columns to fill the
+                    # mesh stream one column per device in lockstep —
+                    # same SPMD scaling as batch-of-tiles, plus the
+                    # zero-redundant-z-compute win (predict/zstream.py)
+                    from ..models.zstream import stream_eligible
+                    from ..predict.zstream import ZStreamPredictor
 
-                predictor = ShardedPredictor(
-                    model, params, raw.voxel_size,
-                    shape_increase=fit_tile(shape_increase),
-                )
-                logger.info(
-                    "sharded inference over %d devices", len(jax.devices())
-                )
+                    if model.dims == 3 and stream_eligible(
+                        model.unet_config
+                    ):
+                        out_shape = [
+                            a + b
+                            for a, b in zip(
+                                model.net_config["output_shape"], fitted
+                            )
+                        ]
+                        n_cols = 1
+                        for v, t in zip(out_vox[1:], out_shape[1:]):
+                            n_cols *= -(-v // t)
+                        if (
+                            out_vox[0] >= 2 * out_shape[0]
+                            and n_cols >= n_dev
+                        ):
+                            predictor = ZStreamPredictor(
+                                model, params, raw.voxel_size,
+                                shape_increase=fitted,
+                                devices=jax.devices(),
+                            )
+                            logger.info(
+                                "sharded z-streaming over %d devices "
+                                "(%d-slice steps, %d columns)",
+                                n_dev, predictor.s, n_cols,
+                            )
+                if predictor is None:
+                    from ..predict.sharded import ShardedPredictor
+
+                    predictor = ShardedPredictor(
+                        model, params, raw.voxel_size,
+                        shape_increase=fitted,
+                    )
+                    logger.info(
+                        "sharded inference over %d devices", n_dev
+                    )
             else:
                 predictor = None
                 fitted = fit_tile(shape_increase)

@@ -76,6 +76,49 @@ def test_zstream_matches_tiled_predictor(tmp_path, depth):
     _assert_quant_equal(a, b)
 
 
+@pytest.mark.skipif(
+    len(__import__("jax").devices()) < 4, reason="needs virtual devices"
+)
+def test_mesh_zstream_matches_tiled_predictor(tmp_path):
+    """Columns sharded one-per-device over a ('space',) mesh must give
+    the tiled single-device result; also exercises the short final
+    column group (5 columns over 4 devices)."""
+    import jax
+
+    model = _tiny_3d_model()
+    params = model.init(jax.random.PRNGKey(0))
+    vs = (40, 4, 4)
+    shape = (22, 24, 40)  # 3x5 = 15 xy columns, z remainder step
+    raw = prepare_ds(
+        str(tmp_path / "t.zarr/raw"), shape, (0, 0, 0), vs, np.uint8
+    )
+    rng = np.random.default_rng(1)
+    raw[raw.roi] = rng.integers(0, 255, shape, dtype=np.uint8)
+
+    tiled = Predictor(model, params, vs, compute_dtype=jnp.float32)
+    outs1 = prepare_prediction_outputs(
+        str(tmp_path / "a.zarr"), model, raw.roi, vs
+    )
+    tiled.predict(raw, outs1)
+
+    zp = ZStreamPredictor(
+        model, params, vs, compute_dtype=jnp.float32,
+        devices=jax.devices()[:4],
+    )
+    assert zp.B == 4
+    outs2 = prepare_prediction_outputs(
+        str(tmp_path / "b.zarr"), model, raw.roi, vs
+    )
+    res = zp.predict(raw, outs2)
+    assert res["devices"] == 4
+    assert res["columns"] > 4  # short final group exercised
+
+    a = outs1["3d_affs"].to_ndarray()
+    b = outs2["3d_affs"].to_ndarray()
+    assert a.shape == b.shape
+    _assert_quant_equal(a, b)
+
+
 def test_zstream_rejects_z_pooling_nets():
     nc = dict(_tiny_3d_model().net_config)
     nc["downsample_factors"] = [[2, 2, 2], [1, 2, 2]]
