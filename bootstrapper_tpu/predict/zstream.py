@@ -58,6 +58,7 @@ class ZStreamPredictor:
         shape_increase: Optional[Sequence[int]] = None,
         compute_dtype=jnp.bfloat16,
         devices: Optional[Sequence] = None,
+        step_z: Optional[int] = None,
     ):
         if model.dims != 3 or not stream_eligible(model.unet_config):
             raise ValueError(
@@ -74,6 +75,17 @@ class ZStreamPredictor:
         )
         in_shape = [a + b for a, b in zip(nc["input_shape"], inc)]
         out_shape = [a + b for a, b in zip(nc["output_shape"], inc)]
+        if step_z is not None:
+            # z step is a FREE parameter of the stream (the tiled-graph
+            # z extent is not): the warm step only needs step_z +
+            # z-context input slices, so a small step shrinks both step
+            # graphs' working sets and funds wider xy tiles. Outputs are
+            # unchanged (valid convs are exact under z concatenation).
+            if step_z < 1:
+                raise ValueError(f"step_z must be >= 1, got {step_z}")
+            ctx_z = in_shape[0] - out_shape[0]
+            out_shape[0] = step_z
+            in_shape[0] = step_z + ctx_z
         self.input_tile = tuple(in_shape)
         self.output_tile = tuple(out_shape)
         self.s = out_shape[0]  # z slices per steady step

@@ -1,0 +1,90 @@
+"""run_prediction predictor selection: the sharded path prefers mesh
+z-streaming (one xy column per device, zero redundant z-context compute)
+on volumes deep enough and wide enough to fill the mesh, and falls back
+to batch-of-tiles SPMD otherwise (reference parity: the multi-GPU daisy
+path in ``bootstrapper/predict.py:128-153`` always pays the z context)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from bootstrapper_tpu.configs import create_prediction_configs, setup_models
+from bootstrapper_tpu.core.arrays import open_ds, prepare_ds
+from bootstrapper_tpu.models import Model
+from bootstrapper_tpu.train import create_train_state, save_checkpoint
+from bootstrapper_tpu.utils import tomlio
+from bootstrapper_tpu.workflows.predict import run_prediction
+
+TINY_3D = dict(
+    num_fmaps=2,
+    fmap_inc_factor=2,
+    input_shape=[24, 48, 48],
+    output_shape=[4, 8, 8],
+    shape_increase=[0, 0, 0],
+    downsample_factors=[[1, 2, 2]] * 2,
+    kernel_size_down=[[[3, 3, 3], [3, 3, 3]]] * 3,
+    kernel_size_up=[[[3, 3, 3], [3, 3, 3]]] * 2,
+)
+
+
+def _make_setup(tmp_path, shape):
+    container = str(tmp_path / "v.zarr")
+    raw = prepare_ds(
+        f"{container}/raw", shape, (0, 0, 0), (1, 1, 1), np.uint8
+    )
+    raw[raw.roi] = np.random.default_rng(0).integers(
+        0, 255, shape, dtype=np.uint8
+    )
+    setup_dirs = setup_models(["3d_affs"], str(tmp_path / "setups"))
+    p = os.path.join(setup_dirs[0], "net_config.json")
+    with open(p) as f:
+        nc = json.load(f)
+    nc.update(TINY_3D)
+    with open(p, "w") as f:
+        json.dump(nc, f)
+    model = Model.from_setup(setup_dirs[0])
+    model.validate_shapes()
+    state, _ = create_train_state(model, jax.random.PRNGKey(0))
+    save_checkpoint(setup_dirs[0], state, 5)
+    volumes = {
+        "v": {
+            "raw_dataset": f"{container}/raw",
+            "voxel_size": [1, 1, 1],
+            "output_container": container,
+        }
+    }
+    cfgs = create_prediction_configs(volumes, setup_dirs, [5])
+    cfg_path = str(tmp_path / "predict.toml")
+    tomlio.dump({"predict": cfgs}, cfg_path)
+    return cfg_path, container
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_sharded_deep_volume_uses_mesh_zstream(tmp_path):
+    # 32 z = 8 steady steps of 4; 3x5 = 15 xy columns >= 8 devices
+    cfg_path, container = _make_setup(tmp_path, (32, 24, 40))
+    res = run_prediction(cfg_path, sharded="batch")
+    stats = res["v/3d_affs/5"]
+    assert stats["columns"] == 15  # zstream selected
+    assert stats["devices"] == len(jax.devices())
+    arr = open_ds(f"{container}/3d_affs/5/3d_affs").to_ndarray()
+    assert arr.shape[1:] == (32, 24, 40)
+    assert (arr > 0).all()  # full coverage, sigmoid outputs quantized
+
+
+def test_sharded_narrow_volume_falls_back_to_batch_tiles(tmp_path):
+    # fewer xy columns (2) than devices: lockstep streaming would idle
+    # most of the mesh, so batch-of-tiles SPMD is used instead
+    cfg_path, container = _make_setup(tmp_path, (32, 8, 16))
+    res = run_prediction(cfg_path, sharded="batch")
+    stats = res["v/3d_affs/5"]
+    assert "columns" not in stats  # ShardedPredictor stats
+    arr = open_ds(f"{container}/3d_affs/5/3d_affs").to_ndarray()
+    assert arr.shape[1:] == (32, 8, 16)
+    assert (arr > 0).all()

@@ -119,6 +119,45 @@ def test_mesh_zstream_matches_tiled_predictor(tmp_path):
     _assert_quant_equal(a, b)
 
 
+@pytest.mark.parametrize("step_z", [1, 3, 4, 7])
+def test_zstream_step_z_is_free_parameter(tmp_path, step_z):
+    """Any step_z gives the tiled result — the z step is decoupled from
+    the tile geometry (valid convs are exact under z concatenation), so
+    production can pick it from a memory model instead of the tile."""
+    model = _tiny_3d_model()
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0))
+    vs = (40, 4, 4)
+    shape = (21, 8, 8)  # prime-ish depth: remainder steps for every s
+    raw = prepare_ds(
+        str(tmp_path / "t.zarr/raw"), shape, (0, 0, 0), vs, np.uint8
+    )
+    rng = np.random.default_rng(2)
+    raw[raw.roi] = rng.integers(0, 255, shape, dtype=np.uint8)
+
+    tiled = Predictor(model, params, vs, compute_dtype=jnp.float32)
+    outs1 = prepare_prediction_outputs(
+        str(tmp_path / "a.zarr"), model, raw.roi, vs
+    )
+    tiled.predict(raw, outs1)
+
+    zp = ZStreamPredictor(
+        model, params, vs, compute_dtype=jnp.float32, step_z=step_z
+    )
+    assert zp.s == step_z
+    assert zp.input_tile[0] == step_z + 20  # tiny net z context
+    outs2 = prepare_prediction_outputs(
+        str(tmp_path / "b.zarr"), model, raw.roi, vs
+    )
+    zp.predict(raw, outs2)
+
+    a = outs1["3d_affs"].to_ndarray()
+    b = outs2["3d_affs"].to_ndarray()
+    assert a.shape == b.shape
+    _assert_quant_equal(a, b)
+
+
 def test_zstream_rejects_z_pooling_nets():
     nc = dict(_tiny_3d_model().net_config)
     nc["downsample_factors"] = [[2, 2, 2], [1, 2, 2]]
