@@ -6,7 +6,12 @@ For volumes deeper than one tile, this predictor walks each xy column
 in z order instead, carrying per-level activation caches on device
 (``models/zstream.py``): after a single warmup tile per column, every
 step converts ``s`` new input slices into ``s`` output slices with zero
-redundant z compute (~7.6% fewer conv FLOPs steady-state).
+redundant z compute.  Because the step size is a free parameter
+(``plan_stream``), the z extent of the step graphs shrinks far below
+the tiled graph's, and the freed HBM funds wider xy tiles — cutting the
+one remaining overhead, xy context, as well: measured on a v5e chip,
+9.7% fewer conv FLOPs/voxel at equal xy (6.94 vs 7.65 MFLOP/voxel at
+540), and ~18% fewer at the planner's wider default tile.
 
 Semantics: outputs equal the tiled predictor's to within float
 reassociation (valid convs are exact under concatenation; the per-step
@@ -36,6 +41,75 @@ from ..models.model import Model
 from ..models.zstream import stream_eligible
 from ..train.sampler import normalize_raw
 from .scan import tile_rois
+
+
+def plan_stream(
+    net_config: dict,
+    volume_vox_shape,
+    max_input_voxels: Optional[int] = None,
+    min_step_z: int = 32,
+    max_step_z: int = 64,
+    min_columns: int = 1,
+) -> tuple:
+    """Pick ``(shape_increase, step_z)`` for streamed inference.
+
+    Streaming changes the tiling economics versus ``scan.
+    auto_shape_increase``: the z extent of the step graphs is a free
+    parameter (zero z-context overhead at ANY step size), so all memory
+    freed by a small step funds wider xy tiles — the only remaining
+    FLOP overhead is the xy context, and it shrinks as (xy_in/xy_out)^2.
+    The budget is effective-input voxels of the LARGER step graph (the
+    warmup: ``(step_z + z_ctx) * xy_in^2``); the measured anchor is the
+    (92,540,540) warm / (64,540,540) steady pair at a 10.6 GB steady
+    arena on a 16 GB v5e (BASELINE.md round-3).
+
+    ``step_z`` is capped at 64: steady-state FLOPs/voxel are independent
+    of step size, so bigger steps only amortise per-step dispatch (<1%
+    at 64) while linearly growing the working set.
+    """
+    import os
+
+    if max_input_voxels is None:
+        max_input_voxels = int(
+            os.environ.get("BS_STREAM_BUDGET_VOX", 33_000_000)
+        )
+    base_in = list(net_config["input_shape"])
+    base_out = list(net_config["output_shape"])
+    if len(base_in) != 3:
+        raise ValueError("streaming plans are 3D only")
+    ctx_z = base_in[0] - base_out[0]
+    vol = list(volume_vox_shape)[-3:]
+    step = [1, 1, 1]
+    for f in net_config["downsample_factors"]:
+        step = [a * b for a, b in zip(step, f)]
+
+    def warm_vox(s, inc_xy):
+        return (s + ctx_z) * (base_in[1] + inc_xy) * (base_in[2] + inc_xy)
+
+    def columns(inc_xy):
+        t = base_out[1] + inc_xy
+        return -(-vol[1] // t) * (-(-vol[2] // t))
+
+    # widest xy whose warm graph fits at the smallest step we'd accept,
+    # without dropping below min_columns (lockstep multi-chip streaming
+    # needs one xy column per device)
+    inc_xy = 0
+    while True:
+        cand = inc_xy + step[1]
+        if (
+            base_out[1] + cand > min(vol[1], vol[2])
+            or columns(cand) < min_columns
+            or warm_vox(min_step_z, cand) > max_input_voxels
+        ):
+            break
+        inc_xy = cand
+    # then the largest step the budget allows at that width; shallow
+    # volumes cap the step so streaming still takes >= 2 z steps
+    s = min_step_z
+    while s < max_step_z and warm_vox(s + 1, inc_xy) <= max_input_voxels:
+        s += 1
+    s = max(1, min(s, vol[0] // 2 if vol[0] > 1 else 1))
+    return [0, inc_xy, inc_xy], s
 
 
 class ZStreamPredictor:

@@ -168,28 +168,40 @@ def run_prediction(
                     # same SPMD scaling as batch-of-tiles, plus the
                     # zero-redundant-z-compute win (predict/zstream.py)
                     from ..models.zstream import stream_eligible
-                    from ..predict.zstream import ZStreamPredictor
+                    from ..predict.zstream import (
+                        ZStreamPredictor,
+                        plan_stream,
+                    )
 
                     if model.dims == 3 and stream_eligible(
                         model.unet_config
                     ):
+                        # streaming retiles on its own memory model:
+                        # the z step is a free parameter, so freed HBM
+                        # funds wider xy than the tiled auto-tile picks
+                        s_inc, s_step = plan_stream(
+                            model.net_config, out_vox,
+                            min_columns=n_dev,
+                        )
+                        s_inc = fit_tile(s_inc)
                         out_shape = [
                             a + b
                             for a, b in zip(
-                                model.net_config["output_shape"], fitted
+                                model.net_config["output_shape"], s_inc
                             )
                         ]
                         n_cols = 1
                         for v, t in zip(out_vox[1:], out_shape[1:]):
                             n_cols *= -(-v // t)
                         if (
-                            out_vox[0] >= 2 * out_shape[0]
+                            out_vox[0] >= 2 * s_step
                             and n_cols >= n_dev
                         ):
                             predictor = ZStreamPredictor(
                                 model, params, raw.voxel_size,
-                                shape_increase=fitted,
+                                shape_increase=s_inc,
                                 devices=jax.devices(),
+                                step_z=s_step,
                             )
                             logger.info(
                                 "sharded z-streaming over %d devices "
@@ -211,28 +223,34 @@ def run_prediction(
                 fitted = fit_tile(shape_increase)
                 if os.environ.get("BS_ZSTREAM", "1") == "1":
                     # overlap-save z streaming: zero redundant z-context
-                    # compute on volumes deeper than ~2 tiles (see
+                    # compute on volumes deeper than ~2 steps (see
                     # predict/zstream.py); falls back to the tiled
                     # predictor for shallow volumes / 2D / z-pooling nets
                     from ..models.zstream import stream_eligible
-                    from ..predict.zstream import ZStreamPredictor
-
-                    out_z = model.net_config["output_shape"][0] + (
-                        fitted[0] if model.dims == 3 else 0
+                    from ..predict.zstream import (
+                        ZStreamPredictor,
+                        plan_stream,
                     )
-                    if (
-                        model.dims == 3
-                        and stream_eligible(model.unet_config)
-                        and out_vox[0] >= 2 * out_z
+
+                    if model.dims == 3 and stream_eligible(
+                        model.unet_config
                     ):
-                        predictor = ZStreamPredictor(
-                            model, params, raw.voxel_size,
-                            shape_increase=fitted,
+                        s_inc, s_step = plan_stream(
+                            model.net_config, out_vox
                         )
-                        logger.info(
-                            "z-streaming inference (%d-slice steps)",
-                            predictor.s,
-                        )
+                        s_inc = fit_tile(s_inc)
+                        if out_vox[0] >= 2 * s_step:
+                            predictor = ZStreamPredictor(
+                                model, params, raw.voxel_size,
+                                shape_increase=s_inc,
+                                step_z=s_step,
+                            )
+                            logger.info(
+                                "z-streaming inference (%d-slice steps,"
+                                " %s tile)",
+                                predictor.s,
+                                "x".join(map(str, predictor.input_tile)),
+                            )
                 if predictor is None:
                     predictor = Predictor(
                         model,

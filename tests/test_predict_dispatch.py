@@ -67,12 +67,14 @@ def _make_setup(tmp_path, shape):
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )
 def test_sharded_deep_volume_uses_mesh_zstream(tmp_path):
-    # 32 z = 8 steady steps of 4; 3x5 = 15 xy columns >= 8 devices
+    # deep enough for >= 2 z steps; the stream planner retiles xy so at
+    # least one column per device exists
     cfg_path, container = _make_setup(tmp_path, (32, 24, 40))
     res = run_prediction(cfg_path, sharded="batch")
     stats = res["v/3d_affs/5"]
-    assert stats["columns"] == 15  # zstream selected
+    assert stats["columns"] >= len(jax.devices())  # zstream selected
     assert stats["devices"] == len(jax.devices())
+    assert stats["steps_per_column"] >= 2
     arr = open_ds(f"{container}/3d_affs/5/3d_affs").to_ndarray()
     assert arr.shape[1:] == (32, 24, 40)
     assert (arr > 0).all()  # full coverage, sigmoid outputs quantized
