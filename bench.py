@@ -109,6 +109,78 @@ def _measure(model, shape_increase, iters):
     return vox_per_sec, tflops, dt / iters * 1000, tile
 
 
+def _measure_stream(model, n_steady=16):
+    """Throughput of the production deep-volume path: overlap-save
+    z-streaming (predict/zstream.py) at the plan_stream default tile.
+
+    Times 1 warmup + ``n_steady`` steady steps together with a forced
+    scalar readback per step (one kept in flight, same as production),
+    so the reported number is CONSERVATIVE for real volumes: a
+    2000-slice volume runs ~62 steady steps per warm, amortising the
+    warm overhead ~4x further than this loop does."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bootstrapper_tpu.predict.zstream import (
+        ZStreamPredictor,
+        plan_stream,
+    )
+
+    # plan for a deep production volume; the planner is volume-agnostic
+    # past ~2x the tile (measured-validated (60,740,740) warm /
+    # (32,740,740) steady on a 16 GB v5e)
+    inc, step_z, warm_step_z = plan_stream(
+        model.net_config, (4000, 4000, 4000)
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    zp = ZStreamPredictor(
+        model, params, (40, 4, 4), shape_increase=inc,
+        step_z=step_z, warm_step_z=warm_step_z,
+    )
+    in_z, iy, ix = zp.warm_input_tile
+    s = zp.s
+    rng = np.random.default_rng(0)
+    warm_x = jnp.asarray(
+        rng.integers(0, 255, (1, in_z, iy, ix, 1), dtype=np.uint8)
+    )
+    xs = [
+        jnp.asarray(rng.integers(0, 255, (1, s, iy, ix, 1), dtype=np.uint8))
+        for _ in range(2)
+    ]
+    # compile both step graphs outside the timed loop
+    outs, state0 = zp._warm(zp.params, warm_x)
+    float(outs["3d_affs"].astype(jnp.float32).mean())
+    del outs
+    outs, state = zp._steady(zp.params, xs[0], state0)
+    float(outs["3d_affs"].astype(jnp.float32).mean())
+    del outs, state
+
+    acc = 0.0
+    pending = []
+    t0 = time.perf_counter()
+    outs, state = zp._warm(zp.params, warm_x)
+    pending.append(outs["3d_affs"].astype(jnp.float32).mean())
+    for i in range(n_steady):
+        outs, state = zp._steady(zp.params, xs[i % 2], state)
+        pending.append(outs["3d_affs"].astype(jnp.float32).mean())
+        if len(pending) >= 2:
+            acc += float(pending.pop(0))
+    t_mark = time.perf_counter()  # steady tail: last dispatch in flight
+    for y in pending:
+        acc += float(y)
+    dt = time.perf_counter() - t0
+    assert 0.0 < acc / (n_steady + 1) < 255.0
+    out_vox_step = s * zp.output_tile[1] * zp.output_tile[2]
+    total_vox = out_vox_step * (n_steady + 1)
+    tile = (
+        f"warm {in_z}x{iy}x{ix}, step {s}x{iy}x{ix}->"
+        f"{s}x{zp.output_tile[1]}x{zp.output_tile[2]}"
+    )
+    del t_mark
+    return total_vox / dt, tile, step_z
+
+
 def _device_health_check(timeout_s: float = 300.0):
     """Fail fast when the TPU relay is unreachable.
 
@@ -167,14 +239,30 @@ def main():
     # voxel -> single-chip speed of light ~25.8 Mvox/s at 100% MXU.
     vox, tflops, ms, tile = _measure(model, [120, 344, 344], iters=10)
 
+    # production deep-volume path: overlap-save z-streaming. Headline
+    # = the best production number; the tiled per-tile figures stay in
+    # the JSON for cross-round comparability (r01/r02 measured tiled).
+    stream_vox = None
+    try:
+        stream_vox, stream_tile, step_z = _measure_stream(model)
+    except Exception as e:
+        print(f"# stream measurement failed: {e}", file=sys.stderr)
+
+    best = max(vox, stream_vox or 0.0)
     result = {
         "metric": "3d_affs_inference_output_voxels_per_sec_per_chip",
-        "value": round(vox, 1),
+        "value": round(best, 1),
         "unit": "voxels/s",
-        "vs_baseline": round(vox / REFERENCE_GPU_VOX_PER_SEC, 3),
+        "vs_baseline": round(best / REFERENCE_GPU_VOX_PER_SEC, 3),
     }
+    if stream_vox is not None:
+        result["mode"] = "zstream" if stream_vox >= vox else "tiled"
+        result["stream_vox_per_sec"] = round(stream_vox, 1)
+        result["stream_tile"] = stream_tile
+        result["stream_step_z"] = step_z
+    result["tiled_vox_per_sec"] = round(vox, 1)
     if tflops is not None:
-        result["tflops_per_sec"] = round(tflops, 1)
+        result["tiled_tflops_per_sec"] = round(tflops, 1)
         result["ms_per_tile"] = round(ms, 1)
     result["tile"] = tile
     result["dtype"] = "bfloat16"

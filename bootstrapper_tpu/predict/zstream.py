@@ -46,70 +46,79 @@ from .scan import tile_rois
 def plan_stream(
     net_config: dict,
     volume_vox_shape,
-    max_input_voxels: Optional[int] = None,
-    min_step_z: int = 32,
+    max_eff_voxels: Optional[int] = None,
+    min_step_z: int = 16,
     max_step_z: int = 64,
     min_columns: int = 1,
 ) -> tuple:
-    """Pick ``(shape_increase, step_z)`` for streamed inference.
+    """Pick ``(shape_increase, step_z, warm_step_z)`` for streaming.
 
     Streaming changes the tiling economics versus ``scan.
     auto_shape_increase``: the z extent of the step graphs is a free
     parameter (zero z-context overhead at ANY step size), so all memory
     freed by a small step funds wider xy tiles — the only remaining
     FLOP overhead is the xy context, and it shrinks as (xy_in/xy_out)^2.
-    The budget is effective-input voxels of the LARGER step graph (the
-    warmup: ``(step_z + z_ctx) * xy_in^2``); the measured anchor is the
-    (92,540,540) warm / (64,540,540) steady pair at a 10.6 GB steady
-    arena on a 16 GB v5e (BASELINE.md round-3).
+
+    The binding constraint is the STEADY graph (the warm step always
+    uses the minimal step, ``base_out_z``, so its graph is small even
+    though it carries the full z context): measured on a 16 GB v5e, the
+    steady temp arena is 0.5-0.62 GB per M effective input voxels
+    ``(s + 8) * xy_in^2``, rising with xy width (measured: (64,540)
+    10.6 GB, (32,452) 4.1 GB, (32,740) 12.8 GB, (48,668) 15.4 GB =
+    OOM; BASELINE.md round-3), so the default budget of 19.3M
+    effective voxels targets a ~11.7 GB arena, ~13.6 GB with
+    arguments and outputs — >= 2 GB clear of the relay's fluctuating
+    ceiling.
 
     ``step_z`` is capped at 64: steady-state FLOPs/voxel are independent
     of step size, so bigger steps only amortise per-step dispatch (<1%
-    at 64) while linearly growing the working set.
+    at 64) while linearly growing the working set; measured MXU
+    efficiency drops ~5% below step 32, so xy width wins until the
+    budget binds.
     """
     import os
 
-    if max_input_voxels is None:
-        max_input_voxels = int(
-            os.environ.get("BS_STREAM_BUDGET_VOX", 33_000_000)
+    if max_eff_voxels is None:
+        max_eff_voxels = int(
+            os.environ.get("BS_STREAM_BUDGET_VOX", 19_300_000)
         )
     base_in = list(net_config["input_shape"])
     base_out = list(net_config["output_shape"])
     if len(base_in) != 3:
         raise ValueError("streaming plans are 3D only")
-    ctx_z = base_in[0] - base_out[0]
     vol = list(volume_vox_shape)[-3:]
     step = [1, 1, 1]
     for f in net_config["downsample_factors"]:
         step = [a * b for a, b in zip(step, f)]
 
-    def warm_vox(s, inc_xy):
-        return (s + ctx_z) * (base_in[1] + inc_xy) * (base_in[2] + inc_xy)
+    def eff_vox(s, inc_xy):
+        return (s + 8) * (base_in[1] + inc_xy) * (base_in[2] + inc_xy)
 
     def columns(inc_xy):
         t = base_out[1] + inc_xy
         return -(-vol[1] // t) * (-(-vol[2] // t))
 
-    # widest xy whose warm graph fits at the smallest step we'd accept,
-    # without dropping below min_columns (lockstep multi-chip streaming
-    # needs one xy column per device)
+    # widest xy whose steady graph fits at the smallest step we'd
+    # accept, without dropping below min_columns (lockstep multi-chip
+    # streaming needs one xy column per device)
     inc_xy = 0
     while True:
         cand = inc_xy + step[1]
         if (
             base_out[1] + cand > min(vol[1], vol[2])
             or columns(cand) < min_columns
-            or warm_vox(min_step_z, cand) > max_input_voxels
+            or eff_vox(min_step_z, cand) > max_eff_voxels
         ):
             break
         inc_xy = cand
     # then the largest step the budget allows at that width; shallow
     # volumes cap the step so streaming still takes >= 2 z steps
     s = min_step_z
-    while s < max_step_z and warm_vox(s + 1, inc_xy) <= max_input_voxels:
+    while s < max_step_z and eff_vox(s + 1, inc_xy) <= max_eff_voxels:
         s += 1
     s = max(1, min(s, vol[0] // 2 if vol[0] > 1 else 1))
-    return [0, inc_xy, inc_xy], s
+    warm_s = max(1, min(base_out[0], s))
+    return [0, inc_xy, inc_xy], s, warm_s
 
 
 class ZStreamPredictor:
@@ -133,6 +142,7 @@ class ZStreamPredictor:
         compute_dtype=jnp.bfloat16,
         devices: Optional[Sequence] = None,
         step_z: Optional[int] = None,
+        warm_step_z: Optional[int] = None,
     ):
         if model.dims != 3 or not stream_eligible(model.unet_config):
             raise ValueError(
@@ -160,9 +170,40 @@ class ZStreamPredictor:
             ctx_z = in_shape[0] - out_shape[0]
             out_shape[0] = step_z
             in_shape[0] = step_z + ctx_z
+        # the warm step size is ANOTHER free parameter: every cache in
+        # the stream state has an s-independent z extent (enc caches are
+        # fixed z tails; decoder FIFOs are the constant per-level z lag,
+        # models/zstream.py), so a small warm step is shape-compatible
+        # with large steady steps — and shrinks the warm graph (which
+        # carries step+z_ctx input slices) below the steady graph's size
+        self.s_warm = warm_step_z if warm_step_z is not None else out_shape[0]
+        if not 1 <= self.s_warm <= out_shape[0]:
+            raise ValueError(
+                f"warm_step_z must be in [1, {out_shape[0]}], "
+                f"got {warm_step_z}"
+            )
+        from ..models.unet import compute_output_shape
+
+        try:
+            got = tuple(compute_output_shape(model.unet_config, in_shape))
+        except ValueError:
+            got = None
+        if got != tuple(out_shape):
+            raise ValueError(
+                f"stream tile {tuple(in_shape)} yields output {got}, "
+                f"expected {tuple(out_shape)}: the xy extent must lie "
+                "on the net's pooling grid (input xy = base + k * "
+                "pool-factor product)"
+            )
         self.input_tile = tuple(in_shape)
         self.output_tile = tuple(out_shape)
         self.s = out_shape[0]  # z slices per steady step
+        # the warm step's input tile (z extent s_warm + z context)
+        self.warm_input_tile = (
+            self.s_warm + in_shape[0] - out_shape[0],
+            in_shape[1],
+            in_shape[2],
+        )
         self.input_size = Coordinate(self.input_tile) * self.voxel_size
         self.output_size = Coordinate(self.output_tile) * self.voxel_size
         self.context = (self.input_size - self.output_size) / 2
@@ -276,7 +317,13 @@ class ZStreamPredictor:
         # then steady); B>1 shards one column per device
         yx_total = Roi(total.begin[1:], total.shape[1:])
         yx_tiles = tile_rois(yx_total, Coordinate(self.output_size[1:]))
-        n_steps = max(1, -(-total.shape[0] // step_z))  # ceil
+        # z walk: one (possibly smaller) warm step, then steady steps
+        z_steps = [(total.begin[0], self.s_warm * vz)]
+        zb = total.begin[0] + self.s_warm * vz
+        while zb < total.end[0]:
+            z_steps.append((zb, step_z))
+            zb += step_z
+        n_steps = len(z_steps)
         groups = [
             yx_tiles[i : i + self.B]
             for i in range(0, len(yx_tiles), self.B)
@@ -284,12 +331,11 @@ class ZStreamPredictor:
 
         items = []  # (is_warm, [write_roi per column in the group])
         for grp in groups:
-            for k in range(n_steps):
-                zb = total.begin[0] + k * step_z
+            for k, (z0, zext) in enumerate(z_steps):
                 wrois = [
                     Roi(
-                        Coordinate((zb, *yx.begin)),
-                        Coordinate((step_z, *yx.shape)),
+                        Coordinate((z0, *yx.begin)),
+                        Coordinate((zext, *yx.shape)),
                     )
                     for yx in grp
                 ]
@@ -357,7 +403,10 @@ class ZStreamPredictor:
         state = None  # free the device caches
         dt = time.perf_counter() - t0
         n_tiles = len(yx_tiles) * n_steps
-        out_voxels = n_tiles * int(np.prod(self.output_tile))
+        z_slices = sum(ext for _, ext in z_steps) // vz
+        out_voxels = (
+            len(yx_tiles) * z_slices * int(np.prod(self.output_tile[1:]))
+        )
         return {
             "tiles": n_tiles,
             "columns": len(yx_tiles),

@@ -179,7 +179,7 @@ def run_prediction(
                         # streaming retiles on its own memory model:
                         # the z step is a free parameter, so freed HBM
                         # funds wider xy than the tiled auto-tile picks
-                        s_inc, s_step = plan_stream(
+                        s_inc, s_step, s_warm = plan_stream(
                             model.net_config, out_vox,
                             min_columns=n_dev,
                         )
@@ -202,6 +202,7 @@ def run_prediction(
                                 shape_increase=s_inc,
                                 devices=jax.devices(),
                                 step_z=s_step,
+                                warm_step_z=s_warm,
                             )
                             logger.info(
                                 "sharded z-streaming over %d devices "
@@ -235,7 +236,7 @@ def run_prediction(
                     if model.dims == 3 and stream_eligible(
                         model.unet_config
                     ):
-                        s_inc, s_step = plan_stream(
+                        s_inc, s_step, s_warm = plan_stream(
                             model.net_config, out_vox
                         )
                         s_inc = fit_tile(s_inc)
@@ -244,6 +245,7 @@ def run_prediction(
                                 model, params, raw.voxel_size,
                                 shape_increase=s_inc,
                                 step_z=s_step,
+                                warm_step_z=s_warm,
                             )
                             logger.info(
                                 "z-streaming inference (%d-slice steps,"

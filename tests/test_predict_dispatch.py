@@ -63,6 +63,33 @@ def _make_setup(tmp_path, shape):
     return cfg_path, container
 
 
+def test_plan_stream_invariants():
+    from bootstrapper_tpu.models.zoo import get_net_config
+    from bootstrapper_tpu.predict.zstream import plan_stream
+
+    nc = get_net_config("3d_affs")
+    ctx_xy = nc["input_shape"][1] - nc["output_shape"][1]
+
+    inc, s, sw = plan_stream(nc, (4000, 4000, 4000))
+    assert inc[0] == 0 and inc[1] == inc[2]
+    assert 1 <= sw <= s <= 64
+    # steady-graph budget respected (the planner's own memory model)
+    assert (s + 8) * (nc["input_shape"][1] + inc[1]) ** 2 <= 22_000_000
+
+    # min_columns forces smaller xy tiles
+    inc8, s8, _ = plan_stream(nc, (4000, 1000, 1000), min_columns=8)
+    t = nc["output_shape"][1] + inc8[1]
+    assert (-(-1000 // t)) ** 2 >= 8
+
+    # shallow volume: step shrinks so >= 2 steps happen
+    _, s_shallow, _ = plan_stream(nc, (40, 2000, 2000))
+    assert s_shallow <= 20
+
+    # tile never exceeds the volume xy
+    inc_s, _, _ = plan_stream(nc, (500, 300, 300))
+    assert nc["output_shape"][1] + inc_s[1] <= 300
+
+
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )

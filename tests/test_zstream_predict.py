@@ -158,6 +158,46 @@ def test_zstream_step_z_is_free_parameter(tmp_path, step_z):
     _assert_quant_equal(a, b)
 
 
+@pytest.mark.parametrize("warm_s,s", [(1, 5), (2, 4), (3, 3)])
+def test_zstream_small_warm_step(tmp_path, warm_s, s):
+    """The warm step size is independent of the steady step size: all
+    stream caches have s-independent z extents, so a small warm graph
+    (the memory-heavy one: it carries the full z context) can feed
+    larger steady steps with identical results."""
+    model = _tiny_3d_model()
+    import jax
+
+    params = model.init(jax.random.PRNGKey(0))
+    vs = (40, 4, 4)
+    shape = (23, 8, 8)
+    raw = prepare_ds(
+        str(tmp_path / "t.zarr/raw"), shape, (0, 0, 0), vs, np.uint8
+    )
+    rng = np.random.default_rng(3)
+    raw[raw.roi] = rng.integers(0, 255, shape, dtype=np.uint8)
+
+    tiled = Predictor(model, params, vs, compute_dtype=jnp.float32)
+    outs1 = prepare_prediction_outputs(
+        str(tmp_path / "a.zarr"), model, raw.roi, vs
+    )
+    tiled.predict(raw, outs1)
+
+    zp = ZStreamPredictor(
+        model, params, vs, compute_dtype=jnp.float32,
+        step_z=s, warm_step_z=warm_s,
+    )
+    assert zp.warm_input_tile[0] == warm_s + 20
+    outs2 = prepare_prediction_outputs(
+        str(tmp_path / "b.zarr"), model, raw.roi, vs
+    )
+    zp.predict(raw, outs2)
+
+    a = outs1["3d_affs"].to_ndarray()
+    b = outs2["3d_affs"].to_ndarray()
+    assert a.shape == b.shape
+    _assert_quant_equal(a, b)
+
+
 def test_zstream_rejects_z_pooling_nets():
     nc = dict(_tiny_3d_model().net_config)
     nc["downsample_factors"] = [[2, 2, 2], [1, 2, 2]]
