@@ -47,7 +47,7 @@ def plan_stream(
     net_config: dict,
     volume_vox_shape,
     max_eff_voxels: Optional[int] = None,
-    min_step_z: int = 16,
+    min_step_z: int = 24,
     max_step_z: int = 64,
     min_columns: int = 1,
 ) -> tuple:
@@ -59,28 +59,50 @@ def plan_stream(
     freed by a small step funds wider xy tiles — the only remaining
     FLOP overhead is the xy context, and it shrinks as (xy_in/xy_out)^2.
 
-    The binding constraint is the STEADY graph (the warm step always
-    uses the minimal step, ``base_out_z``, so its graph is small even
-    though it carries the full z context): measured on a 16 GB v5e, the
-    steady temp arena is 0.5-0.62 GB per M effective input voxels
-    ``(s + 8) * xy_in^2``, rising with xy width (measured: (64,540)
-    10.6 GB, (32,452) 4.1 GB, (32,740) 12.8 GB, (48,668) 15.4 GB =
-    OOM; BASELINE.md round-3), so the default budget of 19.3M
-    effective voxels targets a ~11.7 GB arena, ~13.6 GB with
-    arguments and outputs — >= 2 GB clear of the relay's fluctuating
-    ceiling.
+    Both defaults below were fit to an on-chip (step, xy) sweep of the
+    flagship 3d_affs steady graph (tools/zstream_probe.py, 16 GB v5e,
+    one session; Mvox/s @ temp arena):
 
-    ``step_z`` is capped at 64: steady-state FLOPs/voxel are independent
-    of step size, so bigger steps only amortise per-step dispatch (<1%
-    at 64) while linearly growing the working set; measured MXU
-    efficiency drops ~5% below step 32, so xy width wins until the
-    budget binds.
+    ====  =====  ========  ========
+    step  xy_in  Mvox/s    arena GB
+    ====  =====  ========  ========
+    16    764    12.62     7.26
+    16    892    13.13     ~11
+    20    892    12.34     11.02
+    24    700    12.82     9.53
+    24    764    *13.40*   11.54
+    24    828    13.04     13.41
+    32    692    13.04     12.56
+    32    764    13.45     14.01 (OOM-adjacent: follow-up alloc died)
+    48    628    12.28     13.59
+    64    540    13.32     12.23
+    ====  =====  ========  ========
+
+    - MXU efficiency saturates by step ~24 (at xy 764: 12.62 -> 13.40
+      -> 13.45 for steps 16/24/32), so ``min_step_z=24`` — steps below
+      that waste the budget's FLOP-amortisation headroom.
+    - Wider xy is NOT reliably faster past ~764 despite the better
+      FLOP/voxel ((24,828) and (20,892) both measure slower than
+      (24,764) — XLA tiling alignment dominates at a few percent), so
+      the budget is set to land the widest-first search on the measured
+      optimum (24,764) for deep volumes: 18.9M effective input voxels
+      ``(s + 8) * xy_in^2``.
+    - The binding memory constraint is the STEADY graph (the warm step
+      uses the minimal step ``base_out_z``, so its graph stays small
+      even though it carries the full z context): measured arenas above
+      fit 0.52-0.66 GB per M effective voxels, so 18.9M targets a
+      ~11.5-12.5 GB arena — >= 2 GB clear of the relay's fluctuating
+      ceiling with arguments and outputs resident.
+
+    ``step_z`` stays capped at 64: steady-state FLOPs/voxel are
+    independent of step size, so bigger steps only amortise per-step
+    dispatch (<1% at 64) while linearly growing the working set.
     """
     import os
 
     if max_eff_voxels is None:
         max_eff_voxels = int(
-            os.environ.get("BS_STREAM_BUDGET_VOX", 19_300_000)
+            os.environ.get("BS_STREAM_BUDGET_VOX", 18_900_000)
         )
     base_in = list(net_config["input_shape"])
     base_out = list(net_config["output_shape"])

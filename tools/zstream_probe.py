@@ -108,9 +108,13 @@ def main():
         y, st = steady(params, x_step[i % 2], st)
         float(y.mean())
     dt = (time.perf_counter() - t0) / iters
+    vs = (
+        f"  (+{(dt_static / dt - 1) * 100:.1f}% vs static)"
+        if dt_static is not None
+        else ""
+    )
     print(f"steady: {dt*1e3:.1f} ms/step  "
-          f"{out_vox/dt/1e6:.2f} Mvox/s  "
-          f"(+{(dt_static/dt-1)*100:.1f}% vs static)", flush=True)
+          f"{out_vox/dt/1e6:.2f} Mvox/s{vs}", flush=True)
 
     # warmup amortisation at a realistic column depth
     t0 = time.perf_counter()
@@ -120,7 +124,7 @@ def main():
     print(f"warmup: {dt_warm*1e3:.1f} ms", flush=True)
     for n in (4, 8, 16):
         eff = out_vox * n / (dt_warm + dt * (n - 1)) / 1e6
-        print(f"column of {n} steps ({n*out.shape[1]} z): "
+        print(f"column of {n} steps ({n*y.shape[1]} z): "
               f"{eff:.2f} Mvox/s", flush=True)
 
 
