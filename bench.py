@@ -171,8 +171,11 @@ def _measure_stream(model, n_steady=16):
         acc += float(y)
     dt = time.perf_counter() - t0
     assert 0.0 < acc / (n_steady + 1) < 255.0
-    out_vox_step = s * zp.output_tile[1] * zp.output_tile[2]
-    total_vox = out_vox_step * (n_steady + 1)
+    # the warm step only emits s_warm slices (its graph carries the z
+    # context but a minimal output window) — count what was computed,
+    # not n_steady+1 full steps
+    xy_vox = zp.output_tile[1] * zp.output_tile[2]
+    total_vox = (zp.s_warm + n_steady * s) * xy_vox
     tile = (
         f"warm {in_z}x{iy}x{ix}, step {s}x{iy}x{ix}->"
         f"{s}x{zp.output_tile[1]}x{zp.output_tile[2]}"

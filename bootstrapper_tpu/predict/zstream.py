@@ -425,7 +425,12 @@ class ZStreamPredictor:
         state = None  # free the device caches
         dt = time.perf_counter() - t0
         n_tiles = len(yx_tiles) * n_steps
-        z_slices = sum(ext for _, ext in z_steps) // vz
+        # count written output slices: the final step's z overhang is
+        # computed (reflect-padded reads) but clipped at the write
+        z_slices = min(
+            sum(ext for _, ext in z_steps),
+            total.shape[0],
+        ) // vz
         out_voxels = (
             len(yx_tiles) * z_slices * int(np.prod(self.output_tile[1:]))
         )
