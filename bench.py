@@ -166,7 +166,6 @@ def _measure_stream(model, n_steady=16):
         pending.append(outs["3d_affs"].astype(jnp.float32).mean())
         if len(pending) >= 2:
             acc += float(pending.pop(0))
-    t_mark = time.perf_counter()  # steady tail: last dispatch in flight
     for y in pending:
         acc += float(y)
     dt = time.perf_counter() - t0
@@ -180,7 +179,6 @@ def _measure_stream(model, n_steady=16):
         f"warm {in_z}x{iy}x{ix}, step {s}x{iy}x{ix}->"
         f"{s}x{zp.output_tile[1]}x{zp.output_tile[2]}"
     )
-    del t_mark
     return total_vox / dt, tile, step_z
 
 

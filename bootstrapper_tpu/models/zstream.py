@@ -29,7 +29,8 @@ per step.
 State layout (a pytree, jit-friendly)::
 
     {"enc": [cache_per_level...],             # level-input z tails
-     "dec": [[{"f":..., "g":...}, ...]]}      # per head, per level
+     "dec_f": [fifo_per_level...],            # skip FIFOs (head-shared)
+     "dec_g": [[g_cache_per_level...]]}       # per head, per level
 
 ``unet_stream_step(params, x, None, cfg)`` is the warmup step: it runs
 the plain forward on a full-context input and returns the initial
@@ -110,7 +111,10 @@ def unet_stream_step(
     warm = state is None
     new_state = {
         "enc": [None] * L,
-        "dec": [[None] * (L - 1) for _ in range(cfg.num_heads)],
+        # the skip stream is head-independent, so its FIFO is stored
+        # once per level; only the g context differs per head
+        "dec_f": [None] * (L - 1),
+        "dec_g": [[None] * (L - 1) for _ in range(cfg.num_heads)],
     }
 
     # -- encoder: each level caches the z tail of its own input --------
@@ -166,11 +170,12 @@ def unet_stream_step(
         folded = i < m
         dz = _dz(cfg.kernel_size_up[i])
         rf = return_folded if i == 0 else False
+        f_cat = _cat_z(None if warm else state["dec_f"][i], skips[i])
         outs = []
         for h in range(cfg.num_heads):
-            st = None if warm else state["dec"][h][i]
-            g_cat = _cat_z(None if warm else st["g"], gs[h])
-            f_cat = _cat_z(None if warm else st["f"], skips[i])
+            g_cat = _cat_z(
+                None if warm else state["dec_g"][h][i], gs[h]
+            )
             e_g, e_f = g_cat.shape[1], f_cat.shape[1]
             if warm:
                 # static-graph pairing: the decoder centre-crops the
@@ -181,14 +186,12 @@ def unet_stream_step(
                 fifo = (e_f - e_g) - off + dz
                 f_win = f_cat[:, off : off + e_g]
             else:
-                fifo = st["f"].shape[1]
+                fifo = state["dec_f"][i].shape[1]
                 # steady state: the window is exactly the OLDEST
                 # e_g slices of (FIFO + new) — see module docstring
                 f_win = f_cat[:, :e_g]
-            new_state["dec"][h][i] = {
-                "g": g_cat[:, e_g - dz :],
-                "f": f_cat[:, f_cat.shape[1] - fifo :],
-            }
+            new_state["dec_g"][h][i] = g_cat[:, e_g - dz :]
+            new_state["dec_f"][i] = f_cat[:, f_cat.shape[1] - fifo :]
 
             def dfn(f, g, h=h, i=i, rf=rf, folded=folded):
                 out = _try_lazy_decode(

@@ -343,7 +343,13 @@ def prepare_prediction_outputs(
     for name, ocfg in model.net_config["outputs"].items():
         dims = head_dims(ocfg)
         if predictor is not None:
-            chunk = (dims, *predictor.output_tile)
+            # streaming predictors expose a chunk_tile aligned to their
+            # (warm-offset) write grid; tiled predictors write whole
+            # output tiles
+            chunk = (
+                dims,
+                *getattr(predictor, "chunk_tile", predictor.output_tile),
+            )
         else:
             chunk = None
         ds_name = f"{dataset_prefix}{name}" if dataset_prefix else name

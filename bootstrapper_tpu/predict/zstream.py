@@ -104,6 +104,14 @@ def plan_stream(
         max_eff_voxels = int(
             os.environ.get("BS_STREAM_BUDGET_VOX", 18_900_000)
         )
+        if "BS_STREAM_BUDGET_VOX" not in os.environ:
+            # the 18.9M default is fitted to a 16 GiB v5e; scale it for
+            # other device sizes (arena grows ~linearly in eff voxels)
+            lim = _device_memory_bytes()
+            if lim is not None:
+                max_eff_voxels = int(
+                    max_eff_voxels * min(4.0, lim / (16 * 2**30))
+                )
     base_in = list(net_config["input_shape"])
     base_out = list(net_config["output_shape"])
     if len(base_in) != 3:
@@ -140,7 +148,23 @@ def plan_stream(
         s += 1
     s = max(1, min(s, vol[0] // 2 if vol[0] > 1 else 1))
     warm_s = max(1, min(base_out[0], s))
+    # keep the steady step a multiple of the warm step so the write
+    # grid (offset warm_s, period s) stays aligned to output chunks of
+    # z extent warm_s (see ZStreamPredictor.chunk_tile)
+    if s > warm_s:
+        s -= s % warm_s
     return [0, inc_xy, inc_xy], s, warm_s
+
+
+def _device_memory_bytes():
+    """Per-device memory limit, when the backend reports one."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        return stats.get("bytes_limit") if stats else None
+    except Exception:
+        return None
 
 
 class ZStreamPredictor:
@@ -229,6 +253,16 @@ class ZStreamPredictor:
         self.input_size = Coordinate(self.input_tile) * self.voxel_size
         self.output_size = Coordinate(self.output_tile) * self.voxel_size
         self.context = (self.input_size - self.output_size) / 2
+        # output chunk shape that every write aligns to: the z write
+        # grid is (offset s_warm, period s), so chunks of z extent
+        # gcd(s_warm, s) are never straddled (plan_stream keeps s a
+        # multiple of s_warm, making this simply s_warm)
+        import math
+
+        self.chunk_tile = (
+            math.gcd(self.s_warm, self.s),
+            *self.output_tile[1:],
+        )
 
         self.params = jax.tree_util.tree_map(
             lambda p: jnp.asarray(p, compute_dtype), params

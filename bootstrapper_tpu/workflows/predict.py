@@ -40,6 +40,52 @@ def _find_checkpoint(setup_dir: str, iteration) -> str:
     return latest
 
 
+def _maybe_zstream(
+    model, params, raw, out_vox, fit_tile, tiled_out_z, devices=None
+):
+    """ZStreamPredictor when overlap-save z streaming applies, else None.
+
+    Streaming needs a 3D net that never pools z, a volume deeper than
+    one tiled z pass (``tiled_out_z`` — a single tiled pass already pays
+    the z context exactly once, so streaming shallower volumes only adds
+    a second executable), and — in lockstep multi-device mode — at least
+    one xy column per device.  The stream retiles on its own memory
+    model: the z step is a free parameter, so freed HBM funds wider xy
+    tiles than the tiled auto-tile picks (``plan_stream``).
+    """
+    if os.environ.get("BS_ZSTREAM", "1") != "1":
+        return None
+    from ..models.zstream import stream_eligible
+    from ..predict.zstream import ZStreamPredictor, plan_stream
+
+    if model.dims != 3 or not stream_eligible(model.unet_config):
+        return None
+    n_dev = len(devices) if devices is not None else 1
+    s_inc, s_step, s_warm = plan_stream(
+        model.net_config, out_vox, min_columns=n_dev
+    )
+    s_inc = fit_tile(s_inc)
+    out_shape = [
+        a + b for a, b in zip(model.net_config["output_shape"], s_inc)
+    ]
+    n_cols = 1
+    for v, t in zip(out_vox[1:], out_shape[1:]):
+        n_cols *= -(-v // t)
+    if out_vox[0] <= tiled_out_z or n_cols < n_dev:
+        return None
+    predictor = ZStreamPredictor(
+        model, params, raw.voxel_size, shape_increase=s_inc,
+        devices=devices, step_z=s_step, warm_step_z=s_warm,
+    )
+    logger.info(
+        "z-streaming inference over %d device(s) (%d-slice steps, "
+        "%d columns, %s input tile)",
+        n_dev, predictor.s, n_cols,
+        "x".join(map(str, predictor.input_tile)),
+    )
+    return predictor
+
+
 def run_prediction(
     config_file: str,
     volume: Optional[str] = None,
@@ -159,56 +205,18 @@ def run_prediction(
             elif sharded:
                 import jax
 
-                predictor = None
                 fitted = fit_tile(shape_increase)
                 n_dev = len(jax.devices())
-                if os.environ.get("BS_ZSTREAM", "1") == "1":
-                    # deep volumes with enough xy columns to fill the
-                    # mesh stream one column per device in lockstep —
-                    # same SPMD scaling as batch-of-tiles, plus the
-                    # zero-redundant-z-compute win (predict/zstream.py)
-                    from ..models.zstream import stream_eligible
-                    from ..predict.zstream import (
-                        ZStreamPredictor,
-                        plan_stream,
-                    )
-
-                    if model.dims == 3 and stream_eligible(
-                        model.unet_config
-                    ):
-                        # streaming retiles on its own memory model:
-                        # the z step is a free parameter, so freed HBM
-                        # funds wider xy than the tiled auto-tile picks
-                        s_inc, s_step, s_warm = plan_stream(
-                            model.net_config, out_vox,
-                            min_columns=n_dev,
-                        )
-                        s_inc = fit_tile(s_inc)
-                        out_shape = [
-                            a + b
-                            for a, b in zip(
-                                model.net_config["output_shape"], s_inc
-                            )
-                        ]
-                        n_cols = 1
-                        for v, t in zip(out_vox[1:], out_shape[1:]):
-                            n_cols *= -(-v // t)
-                        if (
-                            out_vox[0] >= 2 * s_step
-                            and n_cols >= n_dev
-                        ):
-                            predictor = ZStreamPredictor(
-                                model, params, raw.voxel_size,
-                                shape_increase=s_inc,
-                                devices=jax.devices(),
-                                step_z=s_step,
-                                warm_step_z=s_warm,
-                            )
-                            logger.info(
-                                "sharded z-streaming over %d devices "
-                                "(%d-slice steps, %d columns)",
-                                n_dev, predictor.s, n_cols,
-                            )
+                # deep volumes with enough xy columns to fill the mesh
+                # stream one column per device in lockstep — same SPMD
+                # scaling as batch-of-tiles, plus the zero-redundant-z-
+                # compute win (predict/zstream.py)
+                predictor = _maybe_zstream(
+                    model, params, raw, out_vox, fit_tile,
+                    tiled_out_z=model.net_config["output_shape"][0]
+                    + fitted[0],
+                    devices=jax.devices(),
+                )
                 if predictor is None:
                     from ..predict.sharded import ShardedPredictor
 
@@ -220,39 +228,17 @@ def run_prediction(
                         "sharded inference over %d devices", n_dev
                     )
             else:
-                predictor = None
                 fitted = fit_tile(shape_increase)
-                if os.environ.get("BS_ZSTREAM", "1") == "1":
-                    # overlap-save z streaming: zero redundant z-context
-                    # compute on volumes deeper than ~2 steps (see
-                    # predict/zstream.py); falls back to the tiled
-                    # predictor for shallow volumes / 2D / z-pooling nets
-                    from ..models.zstream import stream_eligible
-                    from ..predict.zstream import (
-                        ZStreamPredictor,
-                        plan_stream,
+                # overlap-save z streaming on volumes deeper than one
+                # tiled z pass; an explicit --batch-tiles asks for the
+                # tiled predictor's batching, so it opts out
+                predictor = None
+                if batch_tiles is None:
+                    predictor = _maybe_zstream(
+                        model, params, raw, out_vox, fit_tile,
+                        tiled_out_z=model.net_config["output_shape"][0]
+                        + fitted[0],
                     )
-
-                    if model.dims == 3 and stream_eligible(
-                        model.unet_config
-                    ):
-                        s_inc, s_step, s_warm = plan_stream(
-                            model.net_config, out_vox
-                        )
-                        s_inc = fit_tile(s_inc)
-                        if out_vox[0] >= 2 * s_step:
-                            predictor = ZStreamPredictor(
-                                model, params, raw.voxel_size,
-                                shape_increase=s_inc,
-                                step_z=s_step,
-                                warm_step_z=s_warm,
-                            )
-                            logger.info(
-                                "z-streaming inference (%d-slice steps,"
-                                " %s tile)",
-                                predictor.s,
-                                "x".join(map(str, predictor.input_tile)),
-                            )
                 if predictor is None:
                     predictor = Predictor(
                         model,

@@ -107,6 +107,9 @@ def test_sharded_deep_volume_uses_mesh_zstream(tmp_path):
     assert (arr > 0).all()  # full coverage, sigmoid outputs quantized
 
 
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
 def test_sharded_narrow_volume_falls_back_to_batch_tiles(tmp_path):
     # fewer xy columns (2) than devices: lockstep streaming would idle
     # most of the mesh, so batch-of-tiles SPMD is used instead
