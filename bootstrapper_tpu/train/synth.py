@@ -37,24 +37,33 @@ def create_labels(
     anisotropy_range=(2, 8),
     p_blackout: float = 0.2,
     num_points_range=(20, 60),
+    sigma: Optional[float] = None,
 ) -> np.ndarray:
     """Random 3D instance segmentation.
 
     - 'random' mode: smoothed noise -> local-maxima seeds -> Voronoi
-      regions (the reference's noise-watershed equivalent);
+      regions (the reference's noise-watershed equivalent); ``sigma``
+      (default drawn uniform(4, 10)) sets the seed spacing and thereby
+      the object scale;
     - 'tubes' mode: random thick line segments -> connected components
       -> nearest-label expansion;
     then random id blackout and z-subsampling by a random anisotropy
     factor (EM stacks are anisotropic; generated dense, then strided).
+
+    All scalar parameters are drawn BEFORE any shape-sized RNG
+    consumption, so a given seed produces the same object statistics at
+    any volume size (a (48,512,512) and a (125,1250,1250) volume from
+    the same seed used to land on different ends of the sigma range).
     """
     if mode is None:
         mode = rng.choice(["random", "tubes"])
     aniso = int(rng.integers(*anisotropy_range))
+    if sigma is None:
+        sigma = float(rng.uniform(4.0, 10.0))
     dense_shape = (shape[0], *shape[1:])
 
     if mode == "random":
         noise = rng.normal(size=dense_shape).astype(np.float32)
-        sigma = float(rng.uniform(4.0, 10.0))
         smooth = ndimage.gaussian_filter(noise, sigma=(sigma / aniso, sigma, sigma))
         maxima = (
             ndimage.maximum_filter(smooth, size=(3, 9, 9)) == smooth

@@ -16,13 +16,20 @@ sys.path.insert(
 )
 
 
-def synthetic_em(shape=(64, 512, 512), seed=7):
+def synthetic_em(shape=(64, 512, 512), seed=7, sigma=9.7):
+    """``sigma`` pins the object scale (seed spacing of the Voronoi
+    labels): the default reproduces the object statistics of the
+    validated 48x512x512 system-test regime (~16k voxels/object) at any
+    volume size. Before create_labels drew its parameters
+    shape-independently, a (125,1250,1250) volume from the same seed
+    landed on sigma 4.3 — 8x smaller objects, an unrealistically hard
+    boundary density no sparse-label first link could learn."""
     from bootstrapper_tpu.train.synth import create_labels
 
     rng = np.random.default_rng(seed)
     labels = create_labels(
         rng, shape=shape, mode="random", p_blackout=0.0,
-        anisotropy_range=(4, 5),
+        anisotropy_range=(4, 5), sigma=sigma,
     )
 
     # membranes: boundary voxels between labels (xy only, EM-style)
