@@ -370,6 +370,11 @@ def fragment_pair_means(
     acc: Dict[str, list] = {"adj": [], "lr": []}
     for ci, off in enumerate(neighborhood):
         group = "lr" if max(abs(int(o)) for o in off) > 1 else "adj"
+        if any(abs(int(o)) >= s for o, s in zip(off, shape)):
+            # offset longer than the block extent (shrunken edge block):
+            # no in-bounds pairs, and the negative-stop slice arithmetic
+            # below would produce mismatched src/dst shapes
+            continue
         src = tuple(
             slice(max(0, -int(o)), s - max(0, int(o)))
             for o, s in zip(off, shape)
@@ -474,6 +479,7 @@ def global_mutex_segments(
     rag_lr: Optional[RagDB] = None,
     adj_bias: float = -0.4,
     lr_bias: float = -0.7,
+    bias_pairs: Optional[Sequence[Sequence[float]]] = None,
 ) -> Dict[str, str]:
     """GraphMWS capability (``mutex/luts.py:17-90``): one global mutex
     watershed over BOTH RAG edge populations with global biases —
@@ -487,13 +493,20 @@ def global_mutex_segments(
     soft boundary (mean aff > 0.5, typical of refiner-chain outputs)
     globally attractive with nothing to stop it — voi_merge 15.7 on a
     125x1250x1250 volume whose in-memory mws measures ~1.2.
+
+    ``bias_pairs`` sweeps several (adj_bias, lr_bias) operating points
+    over the SAME RAG (nodes/edges read once) — the mws analog of the
+    hierarchical path's threshold sweep, since VOI is very sensitive to
+    the global operating point.  Returns one LUT path per pair keyed
+    ``mws--a{adj}_l{lr}``; without it, the single (adj_bias, lr_bias)
+    point keyed ``mws``.
     """
     os.makedirs(lut_dir, exist_ok=True)
     node_ids, _ = rag_adj.read_nodes()
     order = np.argsort(node_ids)
     sorted_ids = node_ids[order]
 
-    def dense_edges(rag, bias):
+    def dense_edges(rag):
         # vectorised id -> dense index: CREMI-scale RAGs carry millions
         # of edges, far too many for per-edge dict lookups on slow hosts
         eu, ev, means = rag.read_edges()
@@ -506,24 +519,39 @@ def global_mutex_segments(
         keep &= (sorted_ids[np.minimum(pv, len(sorted_ids) - 1)] == ev)
         du = order[pu[keep]].astype(np.uint64)
         dv = order[pv[keep]].astype(np.uint64)
-        w = np.asarray(means, np.float64)[keep] + bias
-        return du, dv, w
+        return du, dv, np.asarray(means, np.float64)[keep]
 
-    du_a, dv_a, w_a = dense_edges(rag_adj, adj_bias)
+    du_a, dv_a, m_a = dense_edges(rag_adj)
     if rag_lr is not None:
-        du_l, dv_l, w_l = dense_edges(rag_lr, lr_bias)
+        du_l, dv_l, m_l = dense_edges(rag_lr)
         du = np.concatenate([du_a, du_l])
         dv = np.concatenate([dv_a, dv_l])
-        weights = np.concatenate([w_a, w_l])
     else:  # no long-range population recorded (e.g. 3-offset nets)
-        du, dv, weights = du_a, dv_a, w_a
-    labels = native.mutex_watershed_edges(len(node_ids), du, dv, weights)
-    segments = node_ids[labels.astype(np.int64)]
-    path = os.path.join(lut_dir, "seg_frags2local_mws.npz")
-    np.savez_compressed(
-        path, fragment_segment_lut=np.stack([node_ids, segments])
-    )
-    return {"mws": path}
+        du, dv = du_a, dv_a
+
+    out = {}
+    sweep = bias_pairs if bias_pairs is not None else [(adj_bias, lr_bias)]
+    for adj_b, lr_b in sweep:
+        weights = m_a + adj_b
+        if rag_lr is not None:
+            weights = np.concatenate([weights, m_l + lr_b])
+        labels = native.mutex_watershed_edges(len(node_ids), du, dv, weights)
+        segments = node_ids[labels.astype(np.int64)]
+        key = (
+            mws_sweep_label(adj_b, lr_b) if bias_pairs is not None
+            else "mws"
+        )
+        path = os.path.join(lut_dir, f"seg_frags2local_{key}.npz")
+        np.savez_compressed(
+            path, fragment_segment_lut=np.stack([node_ids, segments])
+        )
+        out[key] = path
+    return out
+
+
+def mws_sweep_label(adj_bias: float, lr_bias: float) -> str:
+    """Dataset/LUT label for one global-bias operating point."""
+    return f"mws--a{adj_bias:g}_l{lr_bias:g}"
 
 
 def cc_edges_blockwise(
@@ -1019,11 +1047,29 @@ def mws_pipeline_blockwise(
     block_offset: int = 0,
     ledger: Optional[str] = None,
     db: Optional[dict] = None,
+    global_bias_sweep: Optional[Sequence[Sequence[float]]] = None,
     **mws_kwargs,
 ) -> Dict[str, str]:
     """Blockwise mutex pipeline (volara ExtractFrags/AffAgglom/GraphMWS/
-    Relabel capability).  ``workers > 1``: see waterz_pipeline_blockwise."""
-    seg_path = f"{output_container}/segmentations_mws/mws"
+    Relabel capability).  ``workers > 1``: see waterz_pipeline_blockwise.
+
+    ``global_bias_sweep``: (adj_bias, lr_bias) pairs swept over the SAME
+    fragments + RAG in the global step — the mws analog of the
+    hierarchical path's threshold sweep (fragments and edge scores are
+    bias-vector products; the global operating point is cheap to vary,
+    and VOI is very sensitive to it).  One segmentation dataset per
+    pair; the evaluate stage then picks the best, same as ws thresholds.
+    """
+    if global_bias_sweep is not None:
+        seg_paths = {
+            mws_sweep_label(a, l): (
+                f"{output_container}/segmentations_mws/"
+                f"{mws_sweep_label(a, l)}"
+            )
+            for a, l in global_bias_sweep
+        }
+    else:
+        seg_paths = {"mws": f"{output_container}/segmentations_mws/mws"}
     if workers > 1 and block_stride == 1:
         ledger = ledger or f"{output_container}/ledger_mws.db"
         _fresh_ledger(ledger)
@@ -1037,11 +1083,16 @@ def mws_pipeline_blockwise(
                 filter_fragments=filter_fragments,
                 num_workers=num_workers, roi=roi, ledger=ledger,
                 db=db,
+                global_bias_sweep=(
+                    [list(p) for p in global_bias_sweep]
+                    if global_bias_sweep is not None
+                    else None
+                ),
                 **mws_kwargs,
             ),
             workers,
         )
-        return {"mws": seg_path}
+        return seg_paths
 
     sharded = block_stride > 1
     led = open_ledger(ledger) if ledger else None
@@ -1075,10 +1126,11 @@ def mws_pipeline_blockwise(
         )
         rag = open_rag(db_cfg, mode="w")
         rag_lr = open_rag(lr_cfg, mode="w")
-        prepare_ds(
-            seg_path, vox_shape, total.offset, vs, np.uint64,
-            chunk_shape=chunk,
-        )
+        for sp in seg_paths.values():
+            prepare_ds(
+                sp, vox_shape, total.offset, vs, np.uint64,
+                chunk_shape=chunk,
+            )
         if led:
             led.mark_done("setup_mws", 0)
     else:
@@ -1117,16 +1169,23 @@ def mws_pipeline_blockwise(
             rag_lr=rag_lr if any(is_lr) else None,
             adj_bias=float(np.mean(adj_b)) if adj_b else -0.4,
             lr_bias=float(np.mean(lr_b)) if lr_b else -0.7,
+            bias_pairs=global_bias_sweep,
         )
         if led:
             led.mark_done("luts_mws", 0)
     else:
         if led:
             led.wait_for("luts_mws", [0])
-        luts = {"mws": os.path.join(lut_dir, "seg_frags2local_mws.npz")}
-    seg = open_ds(seg_path, mode="r+")
-    extract_segmentation_blockwise(
-        fragments, seg, luts["mws"], block_shape, num_workers, roi=total,
-        block_stride=block_stride, block_offset=block_offset, ledger=ledger,
-    )
-    return {"mws": seg_path}
+        luts = {
+            k: os.path.join(lut_dir, f"seg_frags2local_{k}.npz")
+            for k in seg_paths
+        }
+    for key, sp in seg_paths.items():
+        seg = open_ds(sp, mode="r+")
+        extract_segmentation_blockwise(
+            fragments, seg, luts[key], block_shape, num_workers,
+            roi=total, block_stride=block_stride,
+            block_offset=block_offset, ledger=ledger,
+            task_name=f"extract_seg_{key}",
+        )
+    return seg_paths

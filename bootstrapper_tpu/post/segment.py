@@ -162,6 +162,12 @@ METHOD_DEFAULTS = {
         "strides": MWS_DEFAULT_STRIDES,
         "randomized_strides": True,
         "remove_debris": 64,
+        # blockwise only: global (adj, lr) operating points swept over
+        # one fragments+RAG run (the mws analog of ws thresholds). VOI
+        # is very operating-point sensitive on soft refiner-chain
+        # affinities; evaluate ranks the points and filter picks the
+        # best, so sweeping by default costs little and saves rounds.
+        "global_bias_sweep": [[-0.4, -0.7], [-0.55, -0.8], [-0.7, -0.9]],
     },
     "cc": {"threshold": 0.5, "remove_debris": 64},
 }

@@ -150,6 +150,10 @@ def run_segmentation(
                     noise_eps=params.get("noise_eps"),
                     strides=params.get("strides"),
                     randomized_strides=params.get("randomized_strides", False),
+                    # -p "global_bias_sweep=[[-0.4,-0.7],[-0.6,-0.85]]":
+                    # sweep global (adj, lr) operating points over one
+                    # RAG; evaluate picks the best, like ws thresholds
+                    global_bias_sweep=params.get("global_bias_sweep"),
                 )
                 results[volume_name] = segs
             elif mode == "cc":
@@ -192,21 +196,48 @@ def run_segmentation(
                     out[str(t)] = name
                 results[volume_name] = out
             elif mode == "mws":
-                seg = mws_segmentation(
-                    a,
-                    neighborhood=params.get(
-                        "neighborhood", params.get("aff_neighborhood")
-                    ),
-                    bias=params["bias"],
-                    sigma=params.get("sigma"),
-                    noise_eps=params.get("noise_eps"),
-                    strides=params.get("strides"),
-                    randomized_strides=params.get("randomized_strides", False),
-                    remove_debris=params.get("remove_debris", 0),
+                nbhd = params.get(
+                    "neighborhood", params.get("aff_neighborhood")
                 )
-                name = f"{cfg['seg_dataset_prefix']}/mws"
-                _write_seg(name, seg, affs, total)
-                results[volume_name] = {"mws": name}
+                # -p "bias_sweep=[[-0.4,-0.7],[-0.6,-0.85]]": (short,
+                # long) pairs expanded over the neighborhood; each point
+                # is a full mws run (in-memory has no reusable RAG), one
+                # param-encoded dataset per point for evaluate to rank
+                sweep = params.get("bias_sweep")
+                if sweep is not None:
+                    from ..post.blockwise_seg import mws_sweep_label
+
+                    n_short = sum(
+                        1 for o in nbhd if max(abs(int(v)) for v in o) <= 1
+                    )
+                    points = [
+                        (s, l, [s] * n_short + [l] * (len(nbhd) - n_short))
+                        for s, l in sweep
+                    ]
+                else:
+                    points = [(None, None, params["bias"])]
+                out = {}
+                for short_b, long_b, bias_vec in points:
+                    seg = mws_segmentation(
+                        a,
+                        neighborhood=nbhd,
+                        bias=bias_vec,
+                        sigma=params.get("sigma"),
+                        noise_eps=params.get("noise_eps"),
+                        strides=params.get("strides"),
+                        randomized_strides=params.get(
+                            "randomized_strides", False
+                        ),
+                        remove_debris=params.get("remove_debris", 0),
+                    )
+                    key = (
+                        "mws" if short_b is None
+                        else mws_sweep_label(short_b, long_b)
+                    )
+                    name = f"{cfg['seg_dataset_prefix']}/{key}"
+                    _write_seg(name, seg, affs, total)
+                    out[key] = name
+                results[volume_name] = out
             elif mode == "cc":
                 seg = cc_segmentation(
                     a,

@@ -135,6 +135,80 @@ def test_mws_blockwise(tmp_path):
     assert scores["voi_split"] + scores["voi_merge"] < 0.25
 
 
+def test_mws_blockwise_global_bias_sweep(tmp_path):
+    """global_bias_sweep: several (adj, lr) operating points over ONE
+    fragments+RAG run, one param-encoded dataset each (the mws analog of
+    the ws threshold sweep); a sweep point at the default biases must
+    reproduce the single-point segmentation."""
+    gt = _gt_volume()
+    nbhd = [[-1, 0, 0], [0, -1, 0], [0, 0, -1]]
+    affs_path = _write_affs(tmp_path, gt)
+    common = dict(
+        neighborhood=nbhd,
+        bias=[-0.4, -0.4, -0.4],
+        block_shape=(8, 24, 24),
+        context_voxels=(1, 4, 4),
+        filter_fragments=0.0,
+        noise_eps=None,
+        sigma=None,
+        num_workers=2,
+    )
+    single = mws_pipeline_blockwise(
+        affs_path, str(tmp_path / "single.zarr"), **common
+    )
+    sweep = mws_pipeline_blockwise(
+        affs_path, str(tmp_path / "sweep.zarr"),
+        global_bias_sweep=[[-0.4, -0.7], [-0.8, -0.95]],
+        **common,
+    )
+    assert set(sweep) == {"mws--a-0.4_l-0.7", "mws--a-0.8_l-0.95"}
+    a = open_ds(single["mws"]).to_ndarray()
+    b = open_ds(sweep["mws--a-0.4_l-0.7"]).to_ndarray()
+    # same partition (ids may differ)
+    from bootstrapper_tpu.eval.voi import rand_voi
+
+    s = rand_voi(a, b, ignore_gt_zero=False)
+    assert s["voi_split"] + s["voi_merge"] < 1e-6
+    # the other operating point exists and covers the volume
+    c = open_ds(sweep["mws--a-0.8_l-0.95"]).to_ndarray()
+    assert c.shape == a.shape
+
+
+def test_mws_inmemory_bias_sweep(tmp_path):
+    """run_segmentation -p bias_sweep: one full in-memory mws run per
+    (short, long) pair, one dataset per point."""
+    import numpy as np
+
+    from bootstrapper_tpu.utils import tomlio
+    from bootstrapper_tpu.workflows.segment import run_segmentation
+
+    gt = _gt_volume()
+    affs_path = _write_affs(tmp_path, gt)
+    cfg = {
+        "v": {
+            "affs_dataset": affs_path,
+            "seg_dataset_prefix": str(tmp_path / "v.zarr/segs"),
+            "blockwise": False,
+        }
+    }
+    p = str(tmp_path / "seg.toml")
+    tomlio.dump({"segment": cfg}, p)
+    res = run_segmentation(
+        p, mode="mws",
+        param_overrides=(
+            "neighborhood=[[-1,0,0],[0,-1,0],[0,0,-1]]",
+            "bias=[-0.4,-0.4,-0.4]",
+            "bias_sweep=[[-0.4,-0.4],[-0.6,-0.6]]",
+            "sigma=None", "noise_eps=None",
+        ),
+    )
+    out = res["v"]
+    assert set(out) == {"mws--a-0.4_l-0.4", "mws--a-0.6_l-0.6"}
+    for name in out.values():
+        seg = open_ds(name).to_ndarray()
+        assert seg.shape == gt.shape
+
+
 def test_epsilon_agglomerate_and_replace_sections(tmp_path):
     gt = _gt_volume()
     affs_path = _write_affs(tmp_path, gt)
