@@ -36,7 +36,7 @@ def _split_store_path(path: str) -> tuple[str, str]:
     path = os.path.abspath(path).rstrip("/")
     parts = path.split("/")
     for i, p in enumerate(parts):
-        if p.endswith(".zarr") or p.endswith(".zip"):
+        if p.endswith(".zarr"):
             return "/".join(parts[: i + 1]), "/".join(parts[i + 1 :])
     return path, ""
 
@@ -99,6 +99,18 @@ class Array:
     def _spatial_slices(self, roi: Roi) -> tuple:
         if not self.roi.contains(roi):
             raise IndexError(f"{roi} not contained in {self.roi}")
+        for b, e, v, o in zip(
+            roi.begin, roi.end, self.voxel_size, self.offset
+        ):
+            # funlib parity: reject unaligned ROIs instead of silently
+            # floor-snapping (to_slices floor-divides, so an off-grid
+            # request would read/write a shifted region with no error)
+            if (b - o) % v or (e - o) % v:
+                raise ValueError(
+                    f"{roi} is not aligned to the voxel grid "
+                    f"(voxel_size {tuple(self.voxel_size)}, "
+                    f"offset {tuple(self.offset)})"
+                )
         return roi.to_slices(self.voxel_size, self.offset)
 
     def __getitem__(self, key) -> np.ndarray:
@@ -268,8 +280,29 @@ def prepare_ds(
         spec["open"] = True
     else:
         spec["open"] = True
-    store = ts.open(spec, read=True, write=True).result()
+    existing = mode != "w" and os.path.exists(
+        os.path.join(path, ".zarray")
+    )
+    store = ts.open(spec, read=True, write=(mode != "r")).result()
     sdims = voxel_size.dims
+    if existing:
+        # opening a pre-existing array: keep its attributes (wholesale
+        # rewriting would drop extra keys and could silently shift the
+        # world frame) and require the requested frame to match
+        attrs = _normalize_attrs(_read_attrs(path), store.ndim)
+        have_off = Coordinate(attrs["offset"])
+        have_vs = Coordinate(attrs["voxel_size"])
+        if have_off != offset or have_vs != voxel_size:
+            raise ValueError(
+                f"{path} already exists with offset {tuple(have_off)} / "
+                f"voxel_size {tuple(have_vs)}; requested "
+                f"{tuple(offset)} / {tuple(voxel_size)} (mode={mode!r} "
+                "keeps existing metadata — use mode='w' to recreate)"
+            )
+        return Array(
+            store, have_off, have_vs, attrs.get("axis_names"),
+            attrs.get("units"), path=path,
+        )
     if axis_names is None:
         axis_names = [f"c{i}^" for i in range(len(shape) - sdims)] + [
             "zyx"[3 - sdims + i] for i in range(sdims)

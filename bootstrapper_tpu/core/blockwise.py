@@ -95,8 +95,10 @@ class Ledger:
                 ).fetchone()[0]
             # chunk the IN(...) list: SQLite caps bound variables
             # (999 on older builds), and end-of-stage barriers pass the
-            # full block grid
-            ids = list(int(b) for b in block_ids)
+            # full block grid. Dedup first: an id repeated across two
+            # chunks would be counted twice, releasing wait_for's
+            # `count >= want` barrier early.
+            ids = sorted({int(b) for b in block_ids})
             total = 0
             for i in range(0, len(ids), 500):
                 chunk = ids[i:i + 500]
@@ -107,6 +109,26 @@ class Ledger:
                     (task, *chunk),
                 ).fetchone()[0]
             return total
+
+    def check_geometry(self, task: str, fingerprint: int):
+        """Bind ``task``'s completion rows to one block geometry.
+
+        Ledger block ids are flat grid indices: re-running a task over a
+        different total_roi/write_size/fit silently remaps them, so
+        prior 'done' rows would skip blocks that now cover different
+        regions. The first run records a fingerprint under a reserved
+        pseudo-task; later runs must match or fail loudly.
+        """
+        key = f"__geom__.{task}"
+        seen = self.done_blocks(key)
+        if not seen:
+            self.mark_done(key, fingerprint)
+        elif fingerprint not in seen:
+            raise ValueError(
+                f"ledger already holds task {task!r} with a different "
+                "block geometry (total_roi/write_size/fit changed); "
+                "delete the ledger or use a new one to re-run"
+            )
 
     def wait_for(
         self,
@@ -148,11 +170,11 @@ class DirLedger:
         os.makedirs(self.path, exist_ok=True)
 
     def _task_dir(self, task: str) -> str:
-        d = os.path.join(self.path, task.replace(os.sep, "_"))
-        os.makedirs(d, exist_ok=True)
-        return d
+        return os.path.join(self.path, task.replace(os.sep, "_"))
 
     def done_blocks(self, task: str) -> set:
+        # no mkdir here: the barrier loop polls this every 0.2s, and a
+        # per-poll makedirs is a metadata op on every NFS round trip
         try:
             names = os.listdir(self._task_dir(task))
         except FileNotFoundError:
@@ -161,6 +183,7 @@ class DirLedger:
 
     def mark_done(self, task: str, block_id: int):
         d = self._task_dir(task)
+        os.makedirs(d, exist_ok=True)
         final = os.path.join(d, str(int(block_id)))
         # the temp name must be unique ACROSS HOSTS, not just pids:
         # two hosts on the same mount can share a pid, and a colliding
@@ -185,6 +208,7 @@ class DirLedger:
         return len(done & {int(b) for b in block_ids})
 
     wait_for = Ledger.wait_for  # same polling barrier, over count_done
+    check_geometry = Ledger.check_geometry  # same fingerprint guard
 
 
 def open_ledger(path: str):
@@ -286,22 +310,28 @@ class BlockwiseTask:
         """Group blocks into conflict-free waves.
 
         Without conflicts: one wave. With read-write conflicts: blocks
-        are binned by the parity of their grid index per dimension where
-        the context is nonzero (2^k phases) — neighbours along those
-        dims never run concurrently.
+        are binned by grid index modulo the conflict REACH per dimension
+        with nonzero context — two same-wave blocks along a conflict dim
+        are always separated by more grid steps than the context spans,
+        so their read/write ROIs cannot overlap.  For the common case
+        (context <= write size) this is exactly red-black parity; larger
+        contexts get proportionally more waves (plain mod-2 would race
+        same-parity blocks two steps apart whose context reaches across
+        the intervening block).
         """
         if not self.read_write_conflict:
             return [blocks]
-        conflict_dims = [
-            d
-            for d in range(self.total_roi.dims)
-            if self.context_neg[d] > 0 or self.context_pos[d] > 0
-        ]
-        if not conflict_dims:
+        wsize = self.write_size
+        mods = []
+        for d in range(self.total_roi.dims):
+            ctx = max(self.context_neg[d], self.context_pos[d])
+            if ctx > 0:
+                mods.append((d, 1 + -(-ctx // wsize[d])))
+        if not mods:
             return [blocks]
         phases: dict = {}
         for b in blocks:
-            key = tuple(b.grid_index[d] % 2 for d in conflict_dims)
+            key = tuple(b.grid_index[d] % k for d, k in mods)
             phases.setdefault(key, []).append(b)
         return [phases[k] for k in sorted(phases)]
 
@@ -341,6 +371,16 @@ def run_blockwise(
             f"task {task.name!r}: stride-sharded read-write-conflict "
             "tasks need a ledger for the cross-process wave barrier"
         )
+    if ledger is not None:
+        import zlib
+
+        fp = zlib.crc32(
+            repr((
+                tuple(task.total_roi.offset), tuple(task.total_roi.shape),
+                tuple(task.write_size), task.fit,
+            )).encode()
+        )
+        ledger.check_geometry(task.name, fp)
     prior = ledger.done_blocks(task.name) if ledger else set()
     t0 = time.perf_counter()
     n_total = sum(
@@ -399,7 +439,9 @@ def run_blockwise(
                 if ledger is not None:
                     ledger.mark_done(task.name, block.block_id)
                 with lock:
-                    if result == "skipped":
+                    # isinstance guard: process may return a numpy array,
+                    # whose == against a str is an elementwise comparison
+                    if isinstance(result, str) and result == "skipped":
                         skipped += 1
                     else:
                         done += 1
@@ -428,7 +470,9 @@ def run_blockwise(
                     task.name, block.block_id, attempt + 1, e,
                 )
 
-    n_blocks = 0
+    # report against the full per-shard grid even when an early-phase
+    # failure breaks out of the wave loop below
+    n_blocks = n_total
     for phase in phases:
         mine = [
             b
@@ -436,7 +480,6 @@ def run_blockwise(
             if not sharded
             or b.block_id % task.block_stride == task.block_offset
         ]
-        n_blocks += len(mine)
         todo = [b for b in mine if b.block_id not in prior]
         skipped += len(mine) - len(todo)
         with ThreadPoolExecutor(max_workers=task.num_workers) as pool:
@@ -485,8 +528,6 @@ def host_only_env(base: Optional[dict] = None) -> dict:
     entries (keeping any others, plus the package root so workers can
     import us from any cwd) and pin JAX to CPU in case a worker does
     import it lazily."""
-    import sys as _sys
-
     env = dict(os.environ if base is None else base)
     parts = [
         p for p in env.get("PYTHONPATH", "").split(os.pathsep)

@@ -91,3 +91,45 @@ def test_relative_path(tmp_path, monkeypatch):
     arr[arr.roi] = np.ones((4, 4), np.uint8)
     again = open_ds("sub/t.zarr/x")
     assert again.to_ndarray().sum() == 16
+
+
+def test_unaligned_roi_rejected(tmp_path):
+    import numpy as np
+    import pytest
+
+    from bootstrapper_tpu.core.arrays import prepare_ds
+    from bootstrapper_tpu.core.geometry import Roi
+
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/a"), (10, 10), (0, 0), (2, 2), np.uint8
+    )
+    with pytest.raises(ValueError, match="not aligned"):
+        ds[Roi((1, 0), (4, 4))]
+    with pytest.raises(ValueError, match="not aligned"):
+        ds[Roi((0, 0), (5, 4))] = np.zeros((2, 2), np.uint8)
+    # aligned works
+    ds[Roi((2, 0), (4, 4))] = np.ones((2, 2), np.uint8)
+
+
+def test_prepare_ds_preserves_existing_attrs(tmp_path):
+    import json
+
+    import numpy as np
+    import pytest
+
+    from bootstrapper_tpu.core.arrays import open_ds, prepare_ds
+
+    p = str(tmp_path / "v.zarr/a")
+    prepare_ds(p, (10, 10), (4, 4), (2, 2), np.uint8)
+    # stash an extra attribute a rewrite would drop
+    ap = f"{p}/.zattrs"
+    attrs = json.load(open(ap))
+    attrs["provenance"] = "keep-me"
+    json.dump(attrs, open(ap, "w"))
+    # re-open in append mode with the same frame: attrs preserved
+    prepare_ds(p, (10, 10), (4, 4), (2, 2), np.uint8, mode="a")
+    assert json.load(open(ap))["provenance"] == "keep-me"
+    assert open_ds(p).offset == (4, 4)
+    # a different world frame must not be silently adopted
+    with pytest.raises(ValueError, match="already exists with offset"):
+        prepare_ds(p, (10, 10), (0, 0), (2, 2), np.uint8, mode="a")

@@ -194,3 +194,82 @@ def test_audit_catches_engineered_race():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="race audit"):
         run_blockwise(t)
+
+
+def test_wave_phases_respect_wide_context():
+    """Context wider than the write size needs MORE than red-black: two
+    same-parity blocks two grid steps apart would still overlap (the
+    read halo reaches across the intervening block)."""
+    t = _task(
+        total_roi=Roi((0,), (100,)),
+        write_size=Coordinate(10),
+        context_neg=Coordinate(15),
+        context_pos=Coordinate(15),
+        read_write_conflict=True,
+    )
+    for phase in t._phases(t.blocks()):
+        for i, a in enumerate(phase):
+            for b in phase[i + 1:]:
+                assert not a.read_roi.intersects(b.write_roi), (a, b)
+                assert not b.read_roi.intersects(a.write_roi), (a, b)
+
+
+def test_wave_phases_standard_context_stay_red_black():
+    t = _task(
+        total_roi=Roi((0,), (100,)),
+        write_size=Coordinate(10),
+        context_neg=Coordinate(5),
+        context_pos=Coordinate(5),
+        read_write_conflict=True,
+    )
+    assert len(t._phases(t.blocks())) == 2
+
+
+def test_process_returning_array_is_not_skipped():
+    """numpy 2.x: array == 'skipped' is an elementwise comparison whose
+    truthiness raises — a successful block must not become a failure."""
+    t = _task(process=lambda b: np.zeros(3))
+    res = run_blockwise(t)
+    assert res.ok and res.failed == 0 and res.skipped == 0
+
+
+def test_ledger_geometry_fingerprint(tmp_path):
+    led = str(tmp_path / "led.db")
+    t = _task(ledger=led)
+    assert run_blockwise(t).ok
+    # same geometry resumes fine (everything already done)
+    res = run_blockwise(_task(ledger=led))
+    assert res.ok and res.skipped == res.total_blocks
+    # changed geometry must fail loudly instead of skipping stale ids
+    with pytest.raises(ValueError, match="different block geometry"):
+        run_blockwise(_task(ledger=led, write_size=Coordinate(20, 20)))
+
+
+def test_ledger_count_done_dedups_across_chunks(tmp_path):
+    from bootstrapper_tpu.core.blockwise import Ledger
+
+    led = Ledger(str(tmp_path / "led.db"))
+    for i in range(500):
+        led.mark_done("t", i)
+    # 501 requested ids, one duplicated across the 500-id chunk boundary;
+    # id 999 is NOT done, so the count must stay below the deduped want
+    ids = list(range(500)) + [0, 999]
+    assert led.count_done("t", ids) == 500
+
+
+def test_failure_reports_full_grid(tmp_path):
+    def boom(b):
+        raise RuntimeError("nope")
+
+    t = _task(
+        process=boom,
+        read_write_conflict=True,
+        context_neg=Coordinate(5, 5),
+        context_pos=Coordinate(5, 5),
+        max_retries=0,
+    )
+    res = run_blockwise(t)
+    # only the first wave ran (failure breaks out), but the report still
+    # covers the whole grid
+    assert res.total_blocks == len(t.blocks())
+    assert res.failed < res.total_blocks
