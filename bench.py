@@ -182,7 +182,7 @@ def _measure_stream(model, n_steady=16):
     return total_vox / dt, tile, step_z
 
 
-def _device_health_check(timeout_s: float = 300.0):
+def _device_health_check(timeout_s: float = 420.0):
     """Fail fast when the TPU relay is unreachable.
 
     With the axon plugin registered by the image's sitecustomize,
@@ -192,12 +192,13 @@ def _device_health_check(timeout_s: float = 300.0):
     line instead."""
     import subprocess
 
-    # Two attempts: a single probe can stall transiently right after a
+    # Three attempts: a single probe can stall transiently right after a
     # heavy job releases the chip (observed: first probe hung >300 s,
-    # a retry two minutes later answered in seconds). Only a repeated
-    # failure means the relay is actually down.
+    # a retry two minutes later answered in seconds), and under relay
+    # congestion even a trivial first op has measured 133 s. Only a
+    # repeated failure means the relay is actually down.
     rc = -1
-    for _ in range(2):
+    for _ in range(3):
         try:
             rc = subprocess.run(
                 [sys.executable, "-c",
