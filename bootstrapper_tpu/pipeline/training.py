@@ -306,7 +306,6 @@ class TrainingPipeline:
             output_size=in_size,  # labels read at input size (geometric augs)
             min_masked=min_masked,
             seed=seed,
-            max_labels=MAX_LABELS,
         )
         self.artifact_sampler = None
         if artifact_samples:

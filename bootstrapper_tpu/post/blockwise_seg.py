@@ -1105,15 +1105,19 @@ def mws_pipeline_blockwise(
     frag_path = f"{output_container}/fragments_mws"
     rag_path = f"{output_container}/rag_mws.db"
     lr_rag_path = f"{output_container}/rag_mws_lr.db"
+    # the long-range (repulsive) edge population lives in its own
+    # table/file so both back-ends keep the simple (u,v,score) schema;
+    # its prefix derives from the adjacent one so a user-supplied
+    # table_prefix namespaces BOTH populations consistently (open_rag
+    # maps prefixes to sibling files for SQLite db_file configs)
+    base_prefix = (db or {}).get("table_prefix", "rag_mws")
     db_cfg = (
-        {"table_prefix": "rag_mws", **db}
+        {**db, "table_prefix": base_prefix}
         if db
         else {"db_file": rag_path}
     )
-    # the long-range (repulsive) edge population lives in its own
-    # table/file so both back-ends keep the simple (u,v,score) schema
     lr_cfg = (
-        {**db, "table_prefix": "rag_mws_lr"}
+        {**db, "table_prefix": base_prefix + "_lr"}
         if db
         else {"db_file": lr_rag_path}
     )

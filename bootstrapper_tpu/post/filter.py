@@ -61,6 +61,13 @@ def compute_ids_to_remove(
         keep &= z_counts >= remove_z_fragments
 
     if overlap_filter > 0.0:
+        # Exact reference semantics (``post/blockwise/filter_
+        # segmentation.py:96-121``): an id must meet the overlap ratio
+        # in EVERY slice pair where it appears in the later slice. An
+        # id first appearing at z>0 has ratio 0 at that pair and is
+        # removed — by design: the filter keeps only segments that are
+        # z-continuous from their start, treating pop-in fragments as
+        # errors. (Ids present at z=0 have no earlier pair to fail.)
         K = len(all_ids)
         ok = np.ones(K, bool)
         for z in range(1, labels.shape[0]):

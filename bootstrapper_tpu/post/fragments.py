@@ -175,11 +175,10 @@ def mutex_watershed_from_affinities(
     rng = np.random.default_rng(seed)
 
     if sigma is not None:
-        # smoothed-affinity bias needs the full grid (sigma is off in
-        # the shipped defaults)
-        affs = affs + (
-            ndimage.gaussian_filter(affs, sigma=(0, *sigma)) - affs
-        )
+        # the reference's shift formulation (affs + (smoothed - affs),
+        # ``post/mws.py:46-47``) collapses to the smoothed field itself:
+        # sigma fully replaces the affinities (off in shipped defaults)
+        affs = ndimage.gaussian_filter(affs, sigma=(0, *sigma))
 
     shape = affs.shape[1:]
     if len(shape) == 3 and int(np.prod(shape)) < 2**32:

@@ -242,9 +242,22 @@ class PgRagDB:
 def open_rag(db_config: dict, mode: str = "r+"):
     """RAG store from a segment-config ``db`` table (reference
     ``get_rag_db_config`` shape, ``configs.py:131-180``): ``db_file`` ->
-    SQLite; ``db_name``/``db_host`` -> PostgreSQL."""
+    SQLite; ``db_name``/``db_host`` -> PostgreSQL.
+
+    ``table_prefix`` namespaces edge populations within one logical
+    database (PostgreSQL: distinct tables). SQLite has one fixed-schema
+    ``edges`` table per file, so a prefix maps to a sibling *file*
+    (``rag.db`` + prefix ``rag_mws_lr`` -> ``rag.rag_mws_lr.db``) —
+    otherwise ws/mws/cc pipelines sharing a ``db_file`` config would
+    open the SAME file and merge (and, in ``mode='w'``, wipe) each
+    other's edges."""
     if "db_file" in db_config:
-        return RagDB(db_config["db_file"], mode=mode)
+        path = db_config["db_file"]
+        prefix = db_config.get("table_prefix")
+        if prefix:
+            root, ext = os.path.splitext(path)
+            path = f"{root}.{prefix}{ext or '.db'}"
+        return RagDB(path, mode=mode)
     dsn = {
         k_out: db_config[k_in]
         for k_in, k_out in [

@@ -42,8 +42,6 @@ def segmentation_from_merge_scores(
     comps = native.connected_components_edges(
         len(ids), du, dv, merge_scores, threshold
     )
-    # map component roots to fresh contiguous ids
-    roots, inv = np.unique(comps, return_inverse=True)
     lut_new = ids[comps.astype(np.int64)]  # representative original id
     return native.replace_values(fragments, ids, lut_new)
 

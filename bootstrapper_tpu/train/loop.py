@@ -20,6 +20,7 @@ functional JAX step:
 
 from __future__ import annotations
 
+import logging
 import os
 import pickle
 import re
@@ -31,6 +32,8 @@ import numpy as np
 import optax
 
 from ..models.model import Model, multi_output_loss
+
+logger = logging.getLogger(__name__)
 
 
 class TrainState(NamedTuple):
@@ -95,22 +98,59 @@ def _center_crop_like(x, ref):
 # ---------------------------------------------------------------------------
 
 
-def make_mesh(n_devices: Optional[int] = None, data: Optional[int] = None):
-    """A 2D ('data', 'space') mesh over the available devices."""
+def make_mesh(
+    n_devices: Optional[int] = None,
+    data: Optional[int] = None,
+    batch_size: Optional[int] = None,
+    spatial: Optional[int] = None,
+):
+    """A 2D ('data', 'space') mesh over the available devices.
+
+    ``device_put`` rejects shardings that do not divide a dimension
+    evenly, so the factorisation must respect the arrays it will carry:
+    the 'data' axis must divide the global ``batch_size`` and the
+    'space' axis must divide the leading spatial extent (pass
+    ``spatial`` as the gcd of every sharded tensor's dim-1 — input and
+    output z for 3D setups). Policy: use as many devices as the
+    divisibility constraints allow, favouring data parallelism (no
+    halo exchanges) over spatial sharding; devices that cannot be used
+    evenly are left out of the mesh (with batch 1 and spatial 4 on 8
+    devices, a (1, 4) mesh beats a crash).
+
+    Without ``batch_size``/``spatial`` hints the legacy balanced split
+    is kept (factors of two shared between the axes, at least 2 data)
+    for callers that place compatible arrays themselves.
+    """
     devices = jax.devices()
     n = n_devices or len(devices)
-    devices = np.asarray(devices[:n])
-    if data is None:
-        # favour data parallelism; give leftover factor-of-2 to space
+    if data is not None:
+        space = n // data
+    elif batch_size is None and spatial is None:
         data = n
         space = 1
         while data % 2 == 0 and data > 2:
             data //= 2
             space *= 2
     else:
-        space = n // data
+        b = batch_size or 1
+        best = (0, 0, 0)  # (devices used, data, space)
+        for d in range(1, n + 1):
+            if b % d:
+                continue
+            s = n // d
+            while s > 1 and spatial is not None and spatial % s:
+                s -= 1
+            best = max(best, (d * s, d, s))
+        _, data, space = best
+        if data * space < n:
+            logger.warning(
+                "mesh uses %d of %d devices: batch %s / spatial %s "
+                "constrain the factorisation to (%d data, %d space)",
+                data * space, n, batch_size, spatial, data, space,
+            )
     return jax.sharding.Mesh(
-        devices.reshape(data, space), ("data", "space")
+        np.asarray(devices[: data * space]).reshape(data, space),
+        ("data", "space"),
     )
 
 

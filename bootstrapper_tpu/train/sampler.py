@@ -70,9 +70,9 @@ class RandomLocationSampler:
         min_masked: float = 0.5,
         max_tries: int = 50,
         seed: Optional[int] = None,
-        max_labels: Optional[int] = None,
     ):
-        self.max_labels = max_labels
+        # label-id clamping lives in the device-side renumber
+        # (pipeline/training.py MAX_LABELS), not in the sampler
         assert samples, "need at least one sample"
         self.samples = list(samples)
         self.input_size = Coordinate(input_size)

@@ -138,6 +138,11 @@ def run_evaluation(
 
         if out_result:
             out_json = out_result
+            if len(cfg_all) > 1 and volume is None:
+                # several volumes share one -o path: suffix each so a
+                # later volume does not overwrite an earlier one's JSON
+                root, ext = os.path.splitext(out_result)
+                out_json = f"{root}.{volume_name}{ext or '.json'}"
             os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
         else:
             out_dir = cfg.get("out_result_dir", ".")

@@ -26,17 +26,22 @@ logger = logging.getLogger(__name__)
 
 
 def _find_checkpoint(setup_dir: str, iteration) -> str:
-    path = os.path.join(setup_dir, f"model_checkpoint_{iteration}")
-    if os.path.exists(path):
-        return path
+    explicit = iteration not in (None, "latest")
+    if explicit:
+        path = os.path.join(setup_dir, f"model_checkpoint_{iteration}")
+        if os.path.exists(path):
+            return path
     latest = latest_checkpoint(setup_dir)
     if latest is None:
         raise FileNotFoundError(
             f"no checkpoint in {setup_dir} (wanted iteration {iteration})"
         )
-    logger.warning(
-        "checkpoint iteration %s not found; using %s", iteration, latest
-    )
+    if explicit:
+        # only a real (missing) iteration warrants a warning — the
+        # 'latest' default is not a literal checkpoint name
+        logger.warning(
+            "checkpoint iteration %s not found; using %s", iteration, latest
+        )
     return latest
 
 

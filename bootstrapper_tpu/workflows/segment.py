@@ -207,11 +207,15 @@ def run_segmentation(
                 if sweep is not None:
                     from ..post.blockwise_seg import mws_sweep_label
 
-                    n_short = sum(
-                        1 for o in nbhd if max(abs(int(v)) for v in o) <= 1
-                    )
+                    # map biases per offset (NOT positionally): custom
+                    # neighborhoods may interleave direct-neighbour and
+                    # long-range offsets — same classification as the
+                    # blockwise path's is_lr
+                    is_short = [
+                        max(abs(int(v)) for v in o) <= 1 for o in nbhd
+                    ]
                     points = [
-                        (s, l, [s] * n_short + [l] * (len(nbhd) - n_short))
+                        (s, l, [s if sh else l for sh in is_short])
                         for s, l in sweep
                     ]
                 else:

@@ -41,7 +41,10 @@ def setup_train(config_file: str, **overrides) -> dict:
     reference writes a ``*_modified.toml`` on overrides — same here)."""
     cfg = tomlio.load(config_file)
     cfg = cfg.get("train", cfg)
-    cfg.update({k: v for k, v in overrides.items() if v is not None})
+    # the CLI passes every option, mostly as None — only real values
+    # count as overrides (else every plain run writes a _modified.toml)
+    overrides = {k: v for k, v in overrides.items() if v is not None}
+    cfg.update(overrides)
     if overrides:
         mod = config_file.replace(".toml", "_modified.toml")
         tomlio.dump({"train": cfg}, mod)
@@ -145,9 +148,20 @@ def run_training(config_file: str, **overrides) -> dict:
     if cfg.get("mesh", False) and len(jax.devices()) > 1:
         # data-parallel (+ spatial) sharding over all devices — the
         # reference's Lightning-DDP analog (pjit, not NCCL processes)
+        import math
+
         from ..train.loop import make_mesh, shard_train_step
 
-        mesh = make_mesh()
+        # the mesh factorisation must divide what it will shard: the
+        # batch over 'data', the leading spatial dim of every batch
+        # tensor (input AND target z) over 'space'
+        mesh = make_mesh(
+            batch_size=batch_size or 1,
+            spatial=math.gcd(
+                int(model.net_config["input_shape"][0]),
+                int(model.net_config["output_shape"][0]),
+            ),
+        )
         step_fn, place = shard_train_step(raw_step, mesh)
         logger.info("sharded training over mesh %s", mesh.shape)
     else:

@@ -702,3 +702,71 @@ def test_mws_blockwise_soft_affinities_no_overmerge(tmp_path):
     # into one here (voi_merge ~1.5, voi_split ~0)
     assert scores["voi_merge"] < 0.3, scores
     assert scores["voi_split"] + scores["voi_merge"] < 0.5, scores
+
+
+def test_mws_blockwise_sqlite_db_config_separates_edge_populations(tmp_path):
+    """configs.py-generated blockwise configs carry db={'db_file': ...}.
+    open_rag must namespace the adjacent and long-range mutex edge
+    populations into DISTINCT SQLite stores (table_prefix -> sibling
+    file) — a shared file merges the two populations under one
+    PK(u,v) table and corrupts the global mutex graph. The db-config
+    run must reproduce the db=None run exactly."""
+    from bootstrapper_tpu.post.segment import (
+        MWS_DEFAULT_BIAS,
+        MWS_DEFAULT_NEIGHBORHOOD,
+    )
+
+    gt = _gt_volume(shape=(8, 48, 48))
+    nbhd = MWS_DEFAULT_NEIGHBORHOOD
+    rng = np.random.default_rng(5)
+    affs = np.zeros((len(nbhd), *gt.shape), np.float32)
+    for ci, off in enumerate(nbhd):
+        src = tuple(
+            slice(max(0, -o), s - max(0, o)) for o, s in zip(off, gt.shape)
+        )
+        dst = tuple(
+            slice(max(0, o), s - max(0, -o)) for o, s in zip(off, gt.shape)
+        )
+        same = gt[src] == gt[dst]
+        long_range = max(abs(o) for o in off) > 1
+        hi, lo = (0.85, 0.55) if not long_range else (0.75, 0.15)
+        affs[ci][src] = np.where(same, hi, lo)
+    affs += rng.normal(0, 0.02, affs.shape).astype(np.float32)
+    affs = np.clip(affs, 0, 1)
+    ds = prepare_ds(
+        str(tmp_path / "v.zarr/affs"), affs.shape, (0, 0, 0),
+        (1, 1, 1), np.uint8,
+    )
+    ds[ds.roi] = (affs * 255).astype(np.uint8)
+
+    common = dict(
+        neighborhood=nbhd,
+        bias=MWS_DEFAULT_BIAS,
+        block_shape=(8, 24, 24),
+        context_voxels=(1, 6, 6),
+        filter_fragments=0.0,
+        noise_eps=None,
+        sigma=None,
+        num_workers=2,
+    )
+    plain = mws_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "plain.zarr"),
+        **common,
+    )
+    db_file = str(tmp_path / "cfg.zarr/my_rag.db")
+    with_db = mws_pipeline_blockwise(
+        str(tmp_path / "v.zarr/affs"), str(tmp_path / "cfg.zarr"),
+        db={"db_file": db_file},
+        **common,
+    )
+
+    # two distinct sibling stores, one per edge population
+    import os
+
+    assert os.path.exists(str(tmp_path / "cfg.zarr/my_rag.rag_mws.db"))
+    assert os.path.exists(str(tmp_path / "cfg.zarr/my_rag.rag_mws_lr.db"))
+
+    a = open_ds(plain["mws"]).to_ndarray()
+    b = open_ds(with_db["mws"]).to_ndarray()
+    s = rand_voi(a, b, ignore_gt_zero=False)
+    assert s["voi_split"] + s["voi_merge"] < 1e-6, s

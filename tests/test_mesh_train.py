@@ -114,3 +114,33 @@ def test_make_mesh_shapes():
     assert mesh.axis_names == ("data", "space")
     mesh = make_mesh(8, data=2)
     assert mesh.devices.shape == (2, 4)
+
+
+def test_make_mesh_respects_batch_and_spatial():
+    # batch 1: no data parallelism possible; spatial 4 caps space at 4
+    # even on 8 devices (a (1,4) mesh beats a device_put crash)
+    mesh = make_mesh(8, batch_size=1, spatial=4)
+    assert mesh.devices.shape == (1, 4)
+    # divisible batch: favour full data parallelism
+    mesh = make_mesh(8, batch_size=8, spatial=4)
+    assert mesh.devices.shape == (8, 1)
+    # batch 4 on 8 devices: 4-way data, leftover to space
+    mesh = make_mesh(8, batch_size=4, spatial=4)
+    assert mesh.devices.shape == (4, 2)
+    # spatial hint alone (batch defaults to 1)
+    mesh = make_mesh(8, spatial=32)
+    assert mesh.devices.shape == (1, 8)
+
+
+def test_mesh_train_step_batch_one_default(setup):
+    """The production default (batch_size=1) must not crash: the mesh
+    factorisation falls back to pure spatial sharding."""
+    model, state, tx, step, _ = setup
+    batch = _batch(1, np.random.default_rng(3))
+    # gcd(input z 32, output z 4) = 4
+    mesh = make_mesh(8, batch_size=1, spatial=4)
+    jitted, place = shard_train_step(step, mesh)
+    with mesh:
+        st, b = place(state, batch)
+        st, metrics = jitted(st, b)
+        assert np.isfinite(float(metrics["loss"]))
