@@ -77,30 +77,52 @@ def compute_lsd_errors(
         dtype=np.uint8,
     )
 
-    block_size = Coordinate(block_shape) * vs
+    # blocks never larger than the ROI: tile_rois requires it, and a
+    # small test volume would otherwise emit overhanging tiles that
+    # fail the dataset write
+    block_size = Coordinate(
+        min(b * v, s) for b, v, s in zip(block_shape, vs, roi.shape)
+    )
 
     @jax.jit
-    def block_error(seg_block, pred_block):
-        lsds = lsd_descriptors_downsampled(
-            seg_block, sigma=sigma3, voxel_size=tuple(vs),
+    def chunk_lsds(seg_chunk):
+        return lsd_descriptors_downsampled(
+            seg_chunk, sigma=sigma3, voxel_size=tuple(vs),
             downsample=downsample, max_labels=MAX_LABELS,
         )
-        diff = (lsds - pred_block) ** 2
-        return jnp.sum(diff, axis=0)
+
+    @jax.jit
+    def lsd_diff(lsds, pred_block):
+        return jnp.sum((lsds - pred_block) ** 2, axis=0)
 
     total = 0
     nonzero = 0
-    for wroi in tile_rois(roi, block_size):
+    for wroi, fresh in tile_rois(roi, block_size, with_fresh=True):
         # grown reads are zero-padded outside the volume so every block
         # has the same static shape (one XLA compile)
         rroi = wroi.grow(context, context)
-        seg_block = renumber(seg.to_ndarray(rroi), max_labels=MAX_LABELS)
+        # exact ids: the one-hot LSD kernel holds MAX_LABELS channels,
+        # so label-dense blocks (> MAX_LABELS-1 ids) are processed in
+        # id chunks — each voxel's LSDs are nonzero in exactly the
+        # chunk containing its label (background stays 0), so the
+        # chunk outputs sum to the unclamped result. No silent merging
+        # of high-ranked segments.
+        seg_block = renumber(seg.to_ndarray(rroi))
         pred = pred_lsds.to_ndarray(rroi)
         if np.issubdtype(pred.dtype, np.integer):
             pred = pred.astype(np.float32) / 255.0
         else:
             pred = pred.astype(np.float32)
-        err = np.asarray(block_error(seg_block, pred))
+        k = int(seg_block.max())
+        lsds = None
+        for lo in range(0, max(k, 1), MAX_LABELS - 1):
+            seg_c = seg_block.astype(np.int64) - lo
+            seg_c = np.where(
+                (seg_c > 0) & (seg_c < MAX_LABELS), seg_c, 0
+            ).astype(np.int32)
+            part = chunk_lsds(seg_c)
+            lsds = part if lsds is None else lsds + part
+        err = np.asarray(lsd_diff(lsds, pred))
         err_full, mask_full = _error_from_diff(err, pred.shape[0], thresholds)
         core = tuple(
             slice(int(a), int(a + s))
@@ -112,8 +134,18 @@ def compute_lsd_errors(
         err_ds[wroi] = err_full[core].astype(np.float32)
         m = mask_full[core].astype(np.uint8)
         mask_ds[wroi] = m
-        total += m.size
-        nonzero += int(m.sum())
+        # stats over the fresh (not-yet-counted) part only: inward-
+        # shifted edge tiles overlap, and whole-tile sums would count
+        # the overlap twice
+        fr = tuple(
+            slice(int(a), int(a + s))
+            for a, s in zip(
+                (fresh.begin - wroi.begin) / vs,
+                Coordinate(fresh.shape) / vs,
+            )
+        )
+        total += m[fr].size
+        nonzero += int(m[fr].sum())
 
     return {
         "error_map": err_ds.path,
@@ -157,7 +189,9 @@ def compute_aff_errors(
         voxel_size=vs,
         dtype=np.uint8,
     )
-    block_size = Coordinate(block_shape) * vs
+    block_size = Coordinate(
+        min(b * v, s) for b, v, s in zip(block_shape, vs, roi.shape)
+    )
     n_ch = len(neighborhood)
 
     @jax.jit
@@ -168,7 +202,7 @@ def compute_aff_errors(
 
     total = 0
     nonzero = 0
-    for wroi in tile_rois(roi, block_size):
+    for wroi, fresh in tile_rois(roi, block_size, with_fresh=True):
         rroi = wroi.grow(pad, pad)
         seg_block = seg.to_ndarray(rroi).astype(np.int64)
         pred = pred_affs.to_ndarray(rroi)[:n_ch]
@@ -188,8 +222,15 @@ def compute_aff_errors(
         err_ds[wroi] = err_full[core].astype(np.float32)
         m = mask_full[core].astype(np.uint8)
         mask_ds[wroi] = m
-        total += m.size
-        nonzero += int(m.sum())
+        fr = tuple(
+            slice(int(a), int(a + s))
+            for a, s in zip(
+                (fresh.begin - wroi.begin) / vs,
+                Coordinate(fresh.shape) / vs,
+            )
+        )
+        total += m[fr].size
+        nonzero += int(m[fr].sum())
 
     return {
         "error_map": err_ds.path,

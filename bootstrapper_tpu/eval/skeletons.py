@@ -48,8 +48,13 @@ def load_skeletons(graphml_path: str, roi=None) -> nx.Graph:
             raise ValueError(f"node {node} has no position")
         if roi is not None and not roi.contains(Coordinate(*map(int, pos))):
             continue
-        skel_id = data.get("skeleton_id", data.get("id", 0))
-        out.add_node(node, position=pos, skeleton_id=skel_id)
+        # only a real skeleton_id attribute groups nodes into neurons;
+        # generic per-node 'id's must not (each node would become its
+        # own skeleton)
+        if "skeleton_id" in data:
+            out.add_node(node, position=pos, skeleton_id=data["skeleton_id"])
+        else:
+            out.add_node(node, position=pos)
     for u, v in g.edges():
         if u in out and v in out:
             out.add_edge(u, v)
@@ -75,10 +80,20 @@ def lookup_segment_ids(skeletons: nx.Graph, seg: Array) -> Dict:
 
 
 def _skeleton_components(skeletons: nx.Graph):
-    """Split the skeleton graph into individual skeletons (connected
-    components, or by explicit skeleton_id when present)."""
-    comps = list(nx.connected_components(skeletons))
-    return comps
+    """Split the skeleton graph into individual skeletons.
+
+    When every node carries a ``skeleton_id``, group by it — funlib's
+    behaviour: ROI pruning can cut one neuron into several connected
+    pieces, and treating those pieces as separate skeletons would count
+    a segment correctly covering both as a false merge (and collapse
+    that neuron's ERL). Only graphs without ids fall back to connected
+    components."""
+    by_id: Dict = {}
+    for node, data in skeletons.nodes(data=True):
+        if "skeleton_id" not in data:
+            return list(nx.connected_components(skeletons))
+        by_id.setdefault(data["skeleton_id"], set()).add(node)
+    return list(by_id.values())
 
 
 def expected_run_length(

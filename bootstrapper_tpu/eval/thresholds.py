@@ -28,7 +28,11 @@ from ..core.arrays import Array
 from ..core.geometry import Coordinate
 from ..post.rag import RagDB
 from .mincut import compute_edits
-from .skeletons import expected_run_length, load_skeletons
+from .skeletons import (
+    _skeleton_components,
+    expected_run_length,
+    load_skeletons,
+)
 from .voi import rand_voi
 
 logger = logging.getLogger(__name__)
@@ -126,7 +130,7 @@ def evaluate_thresholds(
             }
             entry["skeletons"] = expected_run_length(skels, ids)
             entry["edits"] = compute_edits(
-                list(nx.connected_components(skels)),
+                _skeleton_components(skels),
                 node_frag,
                 ids,
                 node_ids,

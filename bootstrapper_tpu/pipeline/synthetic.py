@@ -97,13 +97,22 @@ def make_synth_device_transform(net_config: dict, voxel_size):
             chans.append(t)
         x = jnp.concatenate(chans, axis=0)  # (C, *spatial)
 
-        # corrupt the simulated predictions
+        # corrupt the simulated predictions. x is (C, z, y, x): the
+        # reference applies intensity PER CHANNEL (slab (1,-1,-1,-1))
+        # and PER Z-SECTION (slab (-1,1,-1,-1)), and smooths per
+        # z-section only (``3d_affs_from_2d_mtlsd/train.py:116-128``) —
+        # per-section 2D predictions never smear across z at inference,
+        # so slab_axis=1 here; slab_axis=0 would blur each channel
+        # volume through z, a corruption mode the refiner never sees.
         x = _gate(keys[1], 0.5, noise_augment(keys[1], x, 0.05), x)
         x = _gate(
             keys[2], 0.5, intensity_augment(keys[2], x, slab_axis=0), x
         )
-        x = _gate(keys[3], 0.5, gamma_augment(keys[3], x, slab_axis=0), x)
-        x = _gate(keys[4], 0.5, smooth_augment(keys[4], x, slab_axis=0), x)
+        x = _gate(
+            keys[6], 0.5, intensity_augment(keys[6], x, slab_axis=1), x
+        )
+        x = _gate(keys[3], 0.5, gamma_augment(keys[3], x, slab_axis=1), x)
+        x = _gate(keys[4], 0.5, smooth_augment(keys[4], x, slab_axis=1), x)
         # per-section defects across all channels identically
         kd = keys[5]
         x = jax.vmap(

@@ -31,7 +31,6 @@ import numpy as np
 from ..core.arrays import Array
 from ..core.geometry import Coordinate, Roi
 from ..models.model import Model, head_dims
-from ..train.sampler import normalize_raw
 
 
 def auto_shape_increase(
@@ -140,12 +139,18 @@ def shrink_shape_increase(model: "Model", volume_vox_shape, inc=None) -> list:
     return inc
 
 
-def tile_rois(total: Roi, tile_size: Coordinate) -> list:
+def tile_rois(total: Roi, tile_size: Coordinate, with_fresh: bool = False):
     """Cover ``total`` with full-sized tiles; edge tiles shift inward.
 
     Requires total.shape >= tile_size (caller ensures via ROI choice).
+
+    ``with_fresh=True`` returns ``(tile, fresh)`` pairs, where ``fresh``
+    is the part of the tile NOT covered by any earlier tile: inward-
+    shifted edge tiles overlap their neighbour, so statistics summed
+    over whole tiles would count the overlap twice.
     """
     starts_per_dim = []
+    fresh_per_dim = []
     for b, e, t in zip(total.begin, total.end, tile_size):
         starts = list(range(b, e - t + 1, t))
         if not starts:
@@ -153,16 +158,31 @@ def tile_rois(total: Roi, tile_size: Coordinate) -> list:
         if starts[-1] + t < e:
             starts.append(e - t)
         starts_per_dim.append(starts)
+        fresh = []
+        prev_end = None
+        for s in starts:
+            fb = s if prev_end is None else max(s, prev_end)
+            fresh.append((fb, s + t))
+            prev_end = s + t
+        fresh_per_dim.append(fresh)
     out = []
 
-    def rec(d, acc):
+    def rec(d, acc, facc):
         if d == len(starts_per_dim):
-            out.append(Roi(Coordinate(acc), tile_size))
+            tile = Roi(Coordinate(acc), tile_size)
+            if with_fresh:
+                fresh = Roi(
+                    Coordinate(fb for fb, _ in facc),
+                    Coordinate(fe - fb for fb, fe in facc),
+                )
+                out.append((tile, fresh))
+            else:
+                out.append(tile)
             return
-        for s in starts_per_dim[d]:
-            rec(d + 1, acc + [s])
+        for s, f in zip(starts_per_dim[d], fresh_per_dim[d]):
+            rec(d + 1, acc + [s], facc + [f])
 
-    rec(0, [])
+    rec(0, [], [])
     return out
 
 
@@ -266,26 +286,12 @@ class Predictor:
         tiles = tile_rois(total, self.output_size)
         B = self.batch_tiles
         t0 = time.perf_counter()
-        # all-uint8 inputs ship as raw bytes; the jitted forward
-        # normalises on device (same float32 math, 4x less transfer)
-        device_norm = all(a.dtype == np.uint8 for a in inputs)
+        # shared reader: all-uint8 inputs ship as raw bytes; the jitted
+        # forward normalises on device (same float32 math, 4x less
+        # transfer)
+        from ._pipeline import make_tile_reader
 
-        def read_tile(write_roi):
-            read_roi = write_roi.grow(self.context, self.context)
-            chans = []
-            for arr in inputs:
-                x = arr.to_ndarray(read_roi, pad_mode="reflect")
-                if not device_norm:
-                    x = normalize_raw(x)
-                if x.ndim == 3:  # no channel dim -> add one (channels last)
-                    x = x[..., None]
-                else:  # (C, z, y, x) storage -> channels last
-                    x = np.moveaxis(x, 0, -1)
-                chans.append(x)
-            x = np.concatenate(chans, axis=-1)
-            if is_image and not device_norm:
-                x = x * 2.0 - 1.0
-            return x
+        read_tile = make_tile_reader(inputs, self.context, is_image)
 
         def read_batch(batch_tiles):
             arrs = [read_tile(t) for t in batch_tiles]

@@ -36,7 +36,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.arrays import Array
 from ..core.geometry import Coordinate, Roi
 from ..models.model import Model
-from ..train.sampler import normalize_raw
 from .scan import tile_rois
 
 
@@ -91,7 +90,17 @@ class ShardedPredictor:
         )
         self.in_sharding = NamedSharding(self.mesh, P("space"))
 
+        is_image = "raw" in model.net_config.get("inputs", {"raw": {}})
+        self._is_image = is_image
+
         def forward(params, x):
+            if x.dtype == jnp.uint8:
+                # raw-byte transfer: normalise on device (bit-identical
+                # to the host normalize_raw path, 4x less host->device
+                # traffic — the dominant cost over a remote device link)
+                x = x.astype(jnp.float32) / 255.0
+                if is_image:
+                    x = x * 2.0 - 1.0
             outs = model2.apply(params, x)
             return {
                 k: jnp.round(jnp.clip(v, 0, 1) * 255).astype(jnp.uint8)
@@ -123,25 +132,14 @@ class ShardedPredictor:
         roi: Optional[Roi] = None,
     ) -> dict:
         inputs = raw if isinstance(raw, (list, tuple)) else [raw]
-        is_image = "raw" in self.model.net_config.get("inputs", {"raw": {}})
         total = roi if roi is not None else next(iter(outputs.values())).roi
         tiles = tile_rois(total, self.output_size)
         B = self.n_dev
         t0 = time.perf_counter()
 
-        def read_tile(write_roi):
-            read_roi = write_roi.grow(self.context, self.context)
-            chans = []
-            for arr in inputs:
-                x = normalize_raw(
-                    arr.to_ndarray(read_roi, pad_mode="reflect")
-                )
-                x = x[..., None] if x.ndim == 3 else np.moveaxis(x, 0, -1)
-                chans.append(x)
-            x = np.concatenate(chans, axis=-1)
-            if is_image:
-                x = x * 2.0 - 1.0
-            return x
+        from ._pipeline import make_tile_reader
+
+        read_tile = make_tile_reader(inputs, self.context, self._is_image)
 
         batches = [tiles[i : i + B] for i in range(0, len(tiles), B)]
 

@@ -41,7 +41,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.arrays import Array
 from ..core.geometry import Coordinate, Roi
 from ..models import Model
-from ..train.sampler import normalize_raw
 from .scan import tile_rois
 
 logger = logging.getLogger(__name__)
@@ -229,6 +228,8 @@ class SpatialShardedPredictor:
         spatial_spec[d] = "space"
         self.in_spec = P(None, *spatial_spec, None)
 
+        is_image = "raw" in model.net_config.get("inputs", {"raw": {}})
+        self._is_image = is_image
         model2 = Model(model.net_config, compute_dtype=compute_dtype)
         self.params = jax.device_put(
             jax.jit(model2.prefold)(
@@ -265,6 +266,13 @@ class SpatialShardedPredictor:
             k = jax.lax.axis_index("space")
             start = k * own - k * c_in + m_l * c_in
             slab = jax.lax.dynamic_slice_in_dim(ext, start, L, axis=ax)
+            if slab.dtype == jnp.uint8:
+                # raw-byte transfer: tiles ship (and halos ppermute!)
+                # as uint8 — 4x less host->device AND ICI traffic;
+                # normalise here, bit-identical to host normalize_raw
+                slab = slab.astype(jnp.float32) / 255.0
+                if is_image:
+                    slab = slab * 2.0 - 1.0
             outs = model2.apply(params, slab)
             return {
                 name: jnp.round(jnp.clip(v, 0, 1) * 255).astype(jnp.uint8)
@@ -287,9 +295,6 @@ class SpatialShardedPredictor:
             compiler_options=tpu_default_options(),
         )
         self.in_sharding = NamedSharding(self.mesh, self.in_spec)
-        self._is_image = "raw" in model.net_config.get(
-            "inputs", {"raw": {}}
-        )
 
     @property
     def input_tile(self):
@@ -303,15 +308,11 @@ class SpatialShardedPredictor:
     # -- core --------------------------------------------------------------
 
     def _read_tile(self, inputs, write_roi: Roi) -> np.ndarray:
-        read_roi = write_roi.grow(self.context, self.context)
-        chans = []
-        for arr in inputs:
-            x = normalize_raw(arr.to_ndarray(read_roi, pad_mode="reflect"))
-            x = x[..., None] if x.ndim == 3 else np.moveaxis(x, 0, -1)
-            chans.append(x)
-        x = np.concatenate(chans, axis=-1)
-        if self._is_image:
-            x = x * 2.0 - 1.0
+        from ._pipeline import make_tile_reader
+
+        x = make_tile_reader(inputs, self.context, self._is_image)(
+            write_roi
+        )
         pad = self.in_padded - x.shape[self.shard_axis]
         if pad:
             widths = [(0, 0)] * x.ndim

@@ -45,6 +45,52 @@ def _find_checkpoint(setup_dir: str, iteration) -> str:
     return latest
 
 
+def _align_chain_inputs(model, arrays, labels):
+    """Match chained input arrays to the model's declared inputs by NAME.
+
+    ``net_config['inputs']`` is an ordered mapping (e.g. 2d_lsds then
+    2d_affs for 3d_affs_from_2d_mtlsd); the tile reader concatenates
+    arrays positionally, so a reordered ``input_datasets`` list or
+    outputs dict would silently swap channel groups — both halves are
+    often the same width (6+6), so the conv succeeds and garbage is
+    written. The reference matches datasets by name
+    (``predict.py:246-265``); same here: reorder by name when every
+    declared input matches exactly one array, then validate channel
+    widths and fail loudly on a mismatch.
+    """
+    declared = [
+        (k, int(v.get("dims", 1)))
+        for k, v in model.net_config.get("inputs", {}).items()
+    ]
+    if len(declared) <= 1 or len(arrays) != len(declared):
+        return arrays, labels
+
+    def _ch(a):
+        return a.shape[0] if len(a.shape) == len(a.roi.shape) + 1 else 1
+
+    base = [os.path.basename(os.path.normpath(str(l))) for l in labels]
+    picks = []
+    for name, _ in declared:
+        hits = [i for i, b in enumerate(base) if name in b]
+        if len(hits) != 1:
+            picks = None
+            break
+        picks.append(hits[0])
+    if picks is not None and len(set(picks)) == len(picks):
+        arrays = [arrays[i] for i in picks]
+        labels = [labels[i] for i in picks]
+    widths = [_ch(a) for a in arrays]
+    want = [d for _, d in declared]
+    if widths != want:
+        raise ValueError(
+            f"chain inputs {list(labels)} have channel widths {widths} "
+            f"but the model declares inputs {declared}; order "
+            "input_datasets to match (or name datasets after the "
+            "declared inputs so they can be matched)"
+        )
+    return arrays, labels
+
+
 def _maybe_zstream(
     model, params, raw, out_vox, fit_tile, tiled_out_z, devices=None
 ):
@@ -120,6 +166,7 @@ def run_prediction(
             roi = Roi(vcfg["roi_offset"], vcfg["roi_shape"])
 
         prev_arrays = [raw]
+        prev_labels = ["raw"]
         for idx, link in enumerate(vcfg["chain"]):
             setup_dir = link["setup_dir"]
             setup_name = os.path.basename(os.path.normpath(setup_dir))
@@ -129,6 +176,7 @@ def run_prediction(
                 ins = link.get("input_datasets")
                 if ins:
                     prev_arrays = [open_ds(p) for p in ins]
+                    prev_labels = list(ins)
                 elif idx > 0:
                     # skipped earlier links leave prev_arrays == [raw];
                     # running a refiner on raw would be silently wrong
@@ -139,6 +187,9 @@ def run_prediction(
                         "gets its real inputs"
                     )
             model = Model.from_setup(setup_dir)
+            prev_arrays, prev_labels = _align_chain_inputs(
+                model, prev_arrays, prev_labels
+            )
             ckpt = _find_checkpoint(
                 setup_dir, link.get("checkpoint_iteration", "latest")
             )
@@ -276,4 +327,5 @@ def run_prediction(
             )
             results[f"{volume_name}/{link['output_prefix']}"] = stats
             prev_arrays = list(outputs.values())
+            prev_labels = list(outputs.keys())
     return results

@@ -98,3 +98,58 @@ def test_chain_2d_mtlsd_to_3d_affs(tmp_path):
     assert affs3d.shape[0] == 9
     assert (affs3d.to_ndarray() > 0).any()
     assert len(results) == 2
+
+
+def test_align_chain_inputs_reorders_by_name(tmp_path):
+    """A reordered input_datasets list must be matched to the model's
+    declared inputs by name — positional concat would silently swap
+    same-width channel groups (6 lsds + 6 affs)."""
+    from types import SimpleNamespace
+
+    from bootstrapper_tpu.workflows.predict import _align_chain_inputs
+
+    model = SimpleNamespace(
+        net_config={
+            "inputs": {"2d_lsds": {"dims": 6}, "2d_affs": {"dims": 6}}
+        }
+    )
+    lsds = prepare_ds(
+        str(tmp_path / "v.zarr/2d_lsds"), (6, 4, 8, 8), (0, 0, 0),
+        (1, 1, 1), np.float32,
+    )
+    affs = prepare_ds(
+        str(tmp_path / "v.zarr/2d_affs"), (6, 4, 8, 8), (0, 0, 0),
+        (1, 1, 1), np.float32,
+    )
+    # user listed affs first; model wants lsds first
+    arrays, labels = _align_chain_inputs(
+        model, [affs, lsds],
+        [str(tmp_path / "v.zarr/2d_affs"), str(tmp_path / "v.zarr/2d_lsds")],
+    )
+    assert arrays[0] is lsds and arrays[1] is affs
+    assert labels[0].endswith("2d_lsds")
+
+
+def test_align_chain_inputs_rejects_wrong_widths(tmp_path):
+    from types import SimpleNamespace
+
+    from bootstrapper_tpu.workflows.predict import _align_chain_inputs
+
+    model = SimpleNamespace(
+        net_config={
+            "inputs": {"3d_lsds": {"dims": 10}, "3d_affs": {"dims": 9}}
+        }
+    )
+    a = prepare_ds(
+        str(tmp_path / "v.zarr/a"), (6, 4, 8, 8), (0, 0, 0),
+        (1, 1, 1), np.float32,
+    )
+    b = prepare_ds(
+        str(tmp_path / "v.zarr/b"), (6, 4, 8, 8), (0, 0, 0),
+        (1, 1, 1), np.float32,
+    )
+    with pytest.raises(ValueError, match="channel widths"):
+        _align_chain_inputs(
+            model, [a, b],
+            [str(tmp_path / "v.zarr/a"), str(tmp_path / "v.zarr/b")],
+        )

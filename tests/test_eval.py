@@ -167,3 +167,81 @@ def test_lsd_errors_run(tmp_path):
         block_shape=(4, 16, 16), downsample=1,
     )
     assert 0 <= r["nonzero_ratio"] <= 0.5
+
+
+def test_lsd_errors_dense_labels_not_clamped(tmp_path):
+    """Regression: blocks with more ids than the one-hot kernel width
+    (MAX_LABELS=256) used to be renumber-clamped, silently merging all
+    high-ranked segments into one — corrupting the error map exactly in
+    the densest regions. The chunked recompute must match a direct
+    computation with a wide-enough one-hot."""
+    from bootstrapper_tpu.eval.errors import MAX_LABELS
+    from bootstrapper_tpu.ops.lsd import lsd_descriptors
+
+    rng = np.random.default_rng(0)
+    # ~400 small segments in one block (> MAX_LABELS)
+    n = MAX_LABELS + 144
+    gt = np.arange(1, n + 1, dtype=np.uint64).reshape(4, 10, 10)
+    gt = np.repeat(np.repeat(gt, 2, axis=1), 2, axis=2)  # (4,20,20)
+    assert len(np.unique(gt)) > MAX_LABELS
+
+    # exact LSDs via a single wide one-hot (ids < 1024)
+    lsds = np.asarray(
+        lsd_descriptors(gt.astype(np.int32), sigma=4.0, max_labels=1024)
+    )
+    lsds_ds = prepare_ds(
+        str(tmp_path / "e.zarr/lsds"), lsds.shape, (0, 0, 0), (1, 1, 1),
+        np.float32,
+    )
+    lsds_ds[lsds_ds.roi] = lsds
+    seg_ds = _write_seg(tmp_path, gt)
+    r = compute_lsd_errors(
+        seg_ds, lsds_ds, sigma=4.0, out_container=str(tmp_path / "out.zarr"),
+        block_shape=(4, 20, 20), downsample=1,
+    )
+    # perfect predictions of the same seg: error ~0 everywhere
+    assert r["nonzero_ratio"] == 0.0, r
+
+
+def test_errors_roi_smaller_than_block(tmp_path):
+    """Sub-block volumes must evaluate (block size clamps to the ROI)
+    and stats must count every voxel exactly once."""
+    nbhd = [[-1, 0, 0], [0, -1, 0], [0, 0, -1]]
+    gt = np.zeros((4, 12, 12), np.uint64)
+    gt[:, :6, :] = 1
+    gt[:, 6:, :] = 2
+    from bootstrapper_tpu.ops.affinities import seg_to_affs
+
+    affs = np.asarray(seg_to_affs(gt, nbhd))
+    affs_ds = prepare_ds(
+        str(tmp_path / "e.zarr/affs"), affs.shape, (0, 0, 0), (1, 1, 1),
+        np.float32,
+    )
+    affs_ds[affs_ds.roi] = affs
+    seg_ds = _write_seg(tmp_path, gt)
+    # default block_shape (16,128,128) >> volume
+    r = compute_aff_errors(
+        seg_ds, affs_ds, nbhd, str(tmp_path / "out.zarr"),
+    )
+    assert r["total_voxels"] == gt.size
+
+
+def test_errors_stats_count_overlap_once(tmp_path):
+    """Non-multiple volumes shift edge tiles inward; the overlap must
+    not be double-counted in total/nonzero."""
+    nbhd = [[-1, 0, 0], [0, -1, 0], [0, 0, -1]]
+    gt = np.ones((6, 20, 20), np.uint64)  # 20 not a multiple of 12
+    from bootstrapper_tpu.ops.affinities import seg_to_affs
+
+    affs = np.asarray(seg_to_affs(gt, nbhd))
+    affs_ds = prepare_ds(
+        str(tmp_path / "e.zarr/affs"), affs.shape, (0, 0, 0), (1, 1, 1),
+        np.float32,
+    )
+    affs_ds[affs_ds.roi] = affs
+    seg_ds = _write_seg(tmp_path, gt)
+    r = compute_aff_errors(
+        seg_ds, affs_ds, nbhd, str(tmp_path / "out.zarr"),
+        block_shape=(6, 12, 12),
+    )
+    assert r["total_voxels"] == gt.size

@@ -340,3 +340,18 @@ def test_uint8_raw_byte_transfer_is_exact(tmp_path):
         pred.predict(src, {"3d_affs": o})
         outs[name] = o[o.roi]
     np.testing.assert_array_equal(outs["u8"], outs["f32"])
+
+
+def test_tile_rois_fresh_partition():
+    """with_fresh=True: fresh regions tile the total ROI exactly once
+    (disjoint, complete) even when edge tiles shift inward."""
+    total = Roi((0, 0), (100, 70))
+    pairs = tile_rois(total, Coordinate(40, 30), with_fresh=True)
+    covered = np.zeros((100, 70), np.int32)
+    for tile, fresh in pairs:
+        assert tile.contains(fresh.begin)
+        sl = tuple(
+            slice(b, b + s) for b, s in zip(fresh.begin, fresh.shape)
+        )
+        covered[sl] += 1
+    assert covered.min() == 1 and covered.max() == 1
