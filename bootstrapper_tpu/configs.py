@@ -142,15 +142,29 @@ def create_prediction_configs(
             if i == 0:
                 in_datasets = [raw]
             else:
+                # Feed only the datasets this setup declares as inputs,
+                # in declared order (the reference matches datasets to
+                # model inputs by name, ``predict.py:246-265``); a
+                # refiner taking a subset of the previous setup's
+                # outputs (e.g. 2d_mtlsd -> 3d_affs_from_2d_affs) must
+                # not receive the extras.
+                wanted = list(net_config.get("inputs", {}))
+                if wanted:
+                    missing = [w for w in wanted if w not in prev_outputs]
+                    if missing:
+                        raise ValueError(
+                            f"chain link {setup_name!r} declares inputs "
+                            f"{wanted} but the previous setup only "
+                            f"outputs {prev_outputs} (missing {missing})"
+                        )
+                    use = wanted
+                else:
+                    use = prev_outputs
                 in_datasets = [
                     os.path.join(container, prev_prefix, name)
-                    for name in prev_outputs
+                    for name in use
                 ]
             out_prefix = os.path.join(setup_name, ds_suffix)
-            out_datasets = {
-                os.path.join(out_prefix, name): dict(ocfg)
-                for name, ocfg in net_config["outputs"].items()
-            }
             setups.append(
                 {
                     "setup_dir": setup_dir,
@@ -184,13 +198,14 @@ def create_segmentation_configs(
     block_shape: Sequence[int] = (32, 256, 256),
     num_workers: int = 8,
     params: Optional[dict] = None,
+    affs_name: str = "3d_affs",
 ) -> dict:
     configs = {}
     for volume_name, volume in volumes.items():
         container = volume["output_container"]
         out_prefix = os.path.join("post", os.path.basename(affs_prefix))
         cfg = {
-            "affs_dataset": os.path.join(container, affs_prefix, "3d_affs"),
+            "affs_dataset": os.path.join(container, affs_prefix, affs_name),
             "fragments_dataset": os.path.join(
                 container, out_prefix, f"fragments_{method}"
             ),
@@ -328,19 +343,36 @@ def make_round_configs(
     tomlio.dump({"predict": pred}, p)
     paths["predict"] = p
 
-    last_setup = os.path.basename(setup_dirs[-1])
+    # Segment the LAST 3d_affs output along the chain (reference picks
+    # the last dataset whose basename starts with "3d_affs",
+    # ``configs.py:534-542``); a chain whose final model emits no
+    # 3d_affs cannot feed watershed/mws and is a config error.
+    affs_link = affs_name = None
+    for j in range(len(setup_dirs) - 1, -1, -1):
+        with open(os.path.join(setup_dirs[j], "net_config.json")) as f:
+            outs = list(json.load(f)["outputs"])
+        hits = [n for n in outs if os.path.basename(n).startswith("3d_affs")]
+        if hits:
+            affs_link, affs_name = j, hits[-1]
+            break
+    if affs_link is None:
+        raise ValueError(
+            f"model chain {model_names} produces no 3d_affs output to "
+            "segment; end the chain in an affinity model (3d_affs, "
+            "3d_mtlsd, or a 3d_affs_from_* refiner)"
+        )
     chain = [
         f"{os.path.basename(s)}_{it}"
-        for s, it in zip(setup_dirs[:-1], iterations[:-1])
+        for s, it in zip(setup_dirs[:affs_link], iterations[:affs_link])
     ]
     suffix = (
-        str(iterations[-1])
+        str(iterations[affs_link])
         if not chain
-        else f"{iterations[-1]}--from--{'--from--'.join(chain)}"
+        else f"{iterations[affs_link]}--from--{'--from--'.join(chain)}"
     )
-    affs_prefix = os.path.join(last_setup, suffix)
+    affs_prefix = os.path.join(os.path.basename(setup_dirs[affs_link]), suffix)
     seg = create_segmentation_configs(
-        volumes, affs_prefix, segment_method, blockwise
+        volumes, affs_prefix, segment_method, blockwise, affs_name=affs_name
     )
     p = os.path.join(round_dir, "03_segment.toml")
     tomlio.dump({"segment": seg}, p)
@@ -359,7 +391,19 @@ def make_round_configs(
             open(os.path.join(setup_dirs[-1], "net_config.json"))
         )
         out_name, out_cfg = next(iter(last_nc["outputs"].items()))
-        pred_dataset = os.path.join(affs_prefix, out_name)
+        last_chain = [
+            f"{os.path.basename(s)}_{it}"
+            for s, it in zip(setup_dirs[:-1], iterations[:-1])
+        ]
+        last_suffix = (
+            str(iterations[-1])
+            if not last_chain
+            else f"{iterations[-1]}--from--{'--from--'.join(last_chain)}"
+        )
+        last_prefix = os.path.join(
+            os.path.basename(setup_dirs[-1]), last_suffix
+        )
+        pred_dataset = os.path.join(last_prefix, out_name)
         if "sigma" in out_cfg:
             pred_params = {"lsd_sigma": out_cfg["sigma"]}
         else:

@@ -163,10 +163,16 @@ def write_net_config(setup_name: str, setup_dir: str) -> str:
     return path
 
 
-def model_chains(names=None) -> list[list[str]]:
+def model_chains(names=None, require_affs=True) -> list[list[str]]:
     """Enumerate valid model chains: an image model optionally followed by
     a compatible ``*_from_*`` refiner (matched on output/input datasets,
-    same rule as the reference ``configs.py:198-217``)."""
+    same rule as the reference ``configs.py:198-217``).
+
+    With ``require_affs`` (default), only chains whose final model emits
+    a ``3d_affs`` output are returned — the reference's wizard keeps
+    extending a chain while a compatible refiner exists
+    (``configs.py:198-217``), so it never offers e.g. a bare ``2d_lsd``
+    whose outputs nothing downstream can segment."""
     names = list(names or SETUPS)
     chains = []
     for name in names:
@@ -180,4 +186,9 @@ def model_chains(names=None) -> list[list[str]]:
             ins = set(SETUPS[refiner]["inputs"])
             if ins <= outs:
                 chains.append([name, refiner])
+    if require_affs:
+        chains = [
+            c for c in chains
+            if any(o.startswith("3d_affs") for o in SETUPS[c[-1]]["outputs"])
+        ]
     return chains

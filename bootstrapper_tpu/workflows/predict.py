@@ -62,7 +62,7 @@ def _align_chain_inputs(model, arrays, labels):
         (k, int(v.get("dims", 1)))
         for k, v in model.net_config.get("inputs", {}).items()
     ]
-    if len(declared) <= 1 or len(arrays) != len(declared):
+    if not declared or (len(declared) <= 1 and len(arrays) == 1):
         return arrays, labels
 
     def _ch(a):
@@ -77,8 +77,19 @@ def _align_chain_inputs(model, arrays, labels):
             break
         picks.append(hits[0])
     if picks is not None and len(set(picks)) == len(picks):
+        # Name matching also SELECTS when more datasets arrive than the
+        # model declares (a refiner taking a subset of the previous
+        # setup's outputs, e.g. 2d_mtlsd -> 3d_affs_from_2d_affs).
         arrays = [arrays[i] for i in picks]
         labels = [labels[i] for i in picks]
+    elif len(arrays) != len(declared):
+        raise ValueError(
+            f"chain link expects {len(declared)} input dataset(s) "
+            f"{[n for n, _ in declared]} but input_datasets provides "
+            f"{len(arrays)} ({list(map(str, labels))}) and they cannot "
+            "be matched by name; list exactly the declared inputs (or "
+            "name datasets after them)"
+        )
     widths = [_ch(a) for a in arrays]
     want = [d for _, d in declared]
     if widths != want:

@@ -153,3 +153,72 @@ def test_align_chain_inputs_rejects_wrong_widths(tmp_path):
             model, [a, b],
             [str(tmp_path / "v.zarr/a"), str(tmp_path / "v.zarr/b")],
         )
+
+
+def test_align_chain_inputs_selects_subset_by_name(tmp_path):
+    """A refiner declaring ONE input must pick it out of a longer
+    input_datasets list by name (2d_mtlsd -> 3d_affs_from_2d_affs:
+    the previous setup outputs lsds AND affs)."""
+    from types import SimpleNamespace
+
+    from bootstrapper_tpu.workflows.predict import _align_chain_inputs
+
+    model = SimpleNamespace(
+        net_config={"inputs": {"2d_affs": {"dims": 6}}}
+    )
+    lsds = prepare_ds(
+        str(tmp_path / "v.zarr/2d_lsds"), (6, 4, 8, 8), (0, 0, 0),
+        (1, 1, 1), np.float32,
+    )
+    affs = prepare_ds(
+        str(tmp_path / "v.zarr/2d_affs"), (6, 4, 8, 8), (0, 0, 0),
+        (1, 1, 1), np.float32,
+    )
+    arrays, labels = _align_chain_inputs(
+        model, [lsds, affs],
+        [str(tmp_path / "v.zarr/2d_lsds"), str(tmp_path / "v.zarr/2d_affs")],
+    )
+    assert len(arrays) == 1 and arrays[0] is affs
+    assert labels[0].endswith("2d_affs")
+
+
+def test_align_chain_inputs_rejects_unmatchable_count(tmp_path):
+    from types import SimpleNamespace
+
+    from bootstrapper_tpu.workflows.predict import _align_chain_inputs
+
+    model = SimpleNamespace(
+        net_config={"inputs": {"2d_affs": {"dims": 6}}}
+    )
+    a = prepare_ds(
+        str(tmp_path / "v.zarr/x"), (6, 4, 8, 8), (0, 0, 0),
+        (1, 1, 1), np.float32,
+    )
+    b = prepare_ds(
+        str(tmp_path / "v.zarr/y"), (6, 4, 8, 8), (0, 0, 0),
+        (1, 1, 1), np.float32,
+    )
+    with pytest.raises(ValueError, match="matched by name"):
+        _align_chain_inputs(
+            model, [a, b],
+            [str(tmp_path / "v.zarr/x"), str(tmp_path / "v.zarr/y")],
+        )
+
+
+def test_prediction_config_filters_chain_inputs_to_declared(tmp_path):
+    """create_prediction_configs must feed a refiner only its DECLARED
+    inputs: 2d_mtlsd outputs lsds+affs but 3d_affs_from_2d_affs takes
+    only 2d_affs (reference matches by name, predict.py:246-265)."""
+    setup_dirs = setup_models(
+        ["2d_mtlsd", "3d_affs_from_2d_affs"], str(tmp_path / "setups")
+    )
+    volumes = {
+        "v": {
+            "raw_dataset": "c.zarr/raw",
+            "voxel_size": [1, 1, 1],
+            "output_container": "c.zarr",
+        }
+    }
+    cfgs = create_prediction_configs(volumes, setup_dirs, [5, 5])
+    link = cfgs["v"]["chain"][1]
+    assert link["input_datasets"] == ["c.zarr/2d_mtlsd/5/2d_affs"]

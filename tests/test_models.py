@@ -105,6 +105,15 @@ def test_model_chains():
     assert ["2d_mtlsd", "3d_affs_from_2d_lsd"] in chains  # subset inputs ok
     assert ["2d_lsd", "3d_affs_from_2d_affs"] not in chains
     assert ["3d_lsd", "3d_affs_from_3d_lsd"] in chains
+    # chains ending in a model with no 3d_affs output cannot be
+    # segmented and are not offered (the reference wizard force-extends
+    # such chains to a refiner, configs.py:198-217)
+    assert ["2d_lsd"] not in chains
+    assert ["2d_mtlsd"] not in chains
+    assert ["3d_affs"] in chains
+    assert ["3d_mtlsd"] in chains
+    # enumeration without the segmentability filter still offers them
+    assert ["2d_lsd"] in model_chains(require_affs=False)
 
 
 def test_gradients_flow():

@@ -101,3 +101,26 @@ def test_prepare_segment_evaluate_filter_stages(project):
     assert "pseudo_gt/round_1/labels" in fl["out_seg_dataset_prefix"]
     nxt = tomlio.load("filter_next_volumes.toml")["volumes"]["vol"]
     assert "pseudo_gt/round_1/labels" in nxt["labels_dataset"]
+
+
+def test_round_configs_segment_last_affs_link(project, tmp_path):
+    """make_round_configs segments the LAST 3d_affs output along the
+    chain (reference configs.py:534-542) and refuses chains that never
+    produce one."""
+    from bootstrapper_tpu.configs import make_round_configs
+
+    volumes = tomlio.load(str(tmp_path / "volumes.toml"))["volumes"]
+    paths = make_round_configs(
+        str(tmp_path / "round_1"), volumes,
+        ["2d_mtlsd", "3d_affs_from_2d_mtlsd"], iterations=[10, 10],
+    )
+    seg = tomlio.load(paths["segment"])["segment"]["vol"]
+    assert seg["affs_dataset"].endswith(
+        "3d_affs_from_2d_mtlsd/10--from--2d_mtlsd_10/3d_affs"
+    )
+
+    with pytest.raises(ValueError, match="no 3d_affs output"):
+        make_round_configs(
+            str(tmp_path / "round_bad"), volumes, ["2d_lsd"],
+            iterations=[10],
+        )
