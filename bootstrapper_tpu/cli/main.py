@@ -181,6 +181,11 @@ def prepare_train(volumes_toml, setup_dirs, max_iterations, out):
     """Create training config file(s) (reference ``prepare.py:239-257``)."""
     from ..configs import create_training_config
 
+    if out and len(setup_dirs) > 1:
+        raise click.UsageError(
+            "--out names a single file but multiple --setup-dir were "
+            "given; omit --out to write train_{setup}.toml per setup"
+        )
     volumes = _load_volumes(volumes_toml)
     voxel_size = next(iter(volumes.values())).get("voxel_size", [1, 1, 1])
     samples = [
@@ -230,6 +235,12 @@ def prepare_predict(volumes_toml, setup_dirs, iterations, num_workers, out):
             sd = setup_models([sd], "setups")[0]
         resolved.append(sd)
     its = list(iterations)
+    if its and len(its) != len(resolved):
+        raise click.UsageError(
+            f"got {len(its)} --iteration value(s) for {len(resolved)} "
+            "--setup-dir value(s); give one -i per setup (or none to "
+            "use each setup's latest checkpoint)"
+        )
     if not its:
         from ..train.loop import latest_checkpoint
 

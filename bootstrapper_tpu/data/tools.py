@@ -185,7 +185,10 @@ def scale_pyramid(
         is_labels = np.issubdtype(arr.dtype, np.integer) and arr.dtype.itemsize >= 4
 
     base = in_path.rstrip("/")
-    if not os.path.basename(base).startswith("s0"):
+    if os.path.basename(base).startswith("s0"):
+        # already a pyramid level: write s1..sN NEXT to it, not inside
+        base = os.path.dirname(base)
+    else:
         # move into a pyramid group: path/s0
         s0_path = os.path.join(base, "s0")
         data0 = arr.to_ndarray()
@@ -258,8 +261,13 @@ def clahe_2d(
             excess = np.clip(hist - clip, 0, None).sum()
             hist = np.minimum(hist, clip) + excess / nbins
             cdf = np.cumsum(hist)
-            cdf = cdf / cdf[-1]
-            maps[i, j] = cdf
+            if cdf[-1] > 0:
+                maps[i, j] = cdf / cdf[-1]
+            else:
+                # tile entirely past the image edge (narrow section):
+                # identity mapping, not 0/0 = NaN leaking into the
+                # bilinear interpolation
+                maps[i, j] = np.linspace(0, 1, nbins, dtype=np.float32)
     # bilinear interpolation of mappings at every pixel
     ys = (np.arange(H) - th / 2) / th
     xs = (np.arange(W) - tw / 2) / tw
@@ -317,16 +325,30 @@ def merge_ids(
     (``merge.py:14-126`` capability, via union-find over the pairs)."""
     seg = open_ds(in_path)
     vs = seg.voxel_size
-    # resolve transitive merges with union-find over pair ids
+    # Resolve transitive merges while honouring the documented
+    # direction: applying pairs in order, each (a, b) folds a's current
+    # group into b's, and the SURVIVING id is b's current surviving id
+    # (the reference's LUT maps members to the user-chosen key,
+    # ``merge.py:20-25``) — not an arbitrary union-find root.
     ids = sorted({int(x) for pair in merge_pairs for x in pair})
     dense = {x: i for i, x in enumerate(ids)}
-    eu = np.array([dense[int(a)] for a, _ in merge_pairs], np.uint64)
-    ev = np.array([dense[int(b)] for _, b in merge_pairs], np.uint64)
-    roots = native.connected_components_edges(
-        len(ids), eu, ev, np.zeros(len(eu)), 0.5
-    )
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    rep = list(range(len(ids)))  # group root -> surviving dense id
+    for a, b in merge_pairs:
+        ra, rb = find(dense[int(a)]), find(dense[int(b)])
+        target = rep[rb]
+        if ra != rb:
+            parent[ra] = rb
+        rep[find(rb)] = target
     lut_old = np.array(ids, np.uint64)
-    lut_new = np.array([ids[int(r)] for r in roots], np.uint64)
+    lut_new = np.array([ids[rep[find(i)]] for i in range(len(ids))], np.uint64)
 
     out = prepare_ds(
         out_path, seg.spatial_shape, seg.offset, vs, np.uint64

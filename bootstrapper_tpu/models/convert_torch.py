@@ -30,6 +30,16 @@ def _to_jax_conv(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, tuple(range(2, 2 + dims)) + (1, 0))
 
 
+def _to_jax_conv_transpose(w: np.ndarray) -> np.ndarray:
+    # torch ConvTranspose (I, O, *K) -> (*K, I, O) with every kernel
+    # axis reversed: ``lax.conv_transpose(transpose_kernel=False)`` does
+    # not flip the kernel, torch's transposed conv semantics do
+    # (verified numerically against torch.nn.ConvTranspose3d)
+    dims = w.ndim - 2
+    w = np.transpose(w, tuple(range(2, 2 + dims)) + (0, 1))
+    return w[tuple(slice(None, None, -1) for _ in range(dims))]
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
 
@@ -65,10 +75,26 @@ def torch_to_params(state: Dict[str, np.ndarray], model: Model) -> dict:
         if wk not in state:
             missing.append(wk)
             return None
-        return {
-            "w": _to_jax_conv(state[wk]).astype(np.float32),
-            "b": state[bk].astype(np.float32),
-        }
+        w = _to_jax_conv(state[wk]).astype(np.float32)
+        if bk in state:
+            b = state[bk].astype(np.float32)
+        else:
+            # bias=False conv: a zero bias is exactly equivalent
+            b = np.zeros(w.shape[-1], np.float32)
+        return {"w": w, "b": b}
+
+    def conv_t(prefix: str):
+        wk = f"{prefix}.weight"
+        bk = f"{prefix}.bias"
+        if wk not in state:
+            missing.append(wk)
+            return None
+        w = _to_jax_conv_transpose(state[wk]).astype(np.float32)
+        if bk in state:
+            b = state[bk].astype(np.float32)
+        else:
+            b = np.zeros(w.shape[-1], np.float32)
+        return {"w": w, "b": b}
 
     def conv_pass(prefix: str, n_convs: int):
         layers = []
@@ -90,7 +116,7 @@ def torch_to_params(state: Dict[str, np.ndarray], model: Model) -> dict:
             if cfg.constant_upsample:
                 ups.append({})
             else:
-                ups.append(conv(f"unet.r_up.{h}.{level}.up", ""))
+                ups.append(conv_t(f"unet.r_up.{h}.{level}.up"))
             convs.append(
                 conv_pass(
                     f"unet.r_conv.{h}.{level}",

@@ -67,7 +67,10 @@ class Model:
             kernel_size_down=nc["kernel_size_down"],
             kernel_size_up=nc["kernel_size_up"],
             num_fmaps_out=nc.get("num_fmaps_out"),
-            constant_upsample=True,
+            # shipped setups use constant (resize) upsampling like the
+            # reference's model.py:50; transposed-conv upsampling is a
+            # UNet capability selectable per-config (unet.py:241)
+            constant_upsample=nc.get("constant_upsample", True),
             padding="valid",
             fold_xy=nc.get("fold_xy", True),
         )

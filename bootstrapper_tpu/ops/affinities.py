@@ -96,6 +96,8 @@ def grow_boundary(seg, steps: int = 1, only_xy: bool = False, mask=None):
             o[d] = s
             offsets.append(o)
 
+    in_mask = None if mask is None else jnp.asarray(mask) > 0
+
     def erode_once(s):
         boundary = jnp.zeros(s.shape, bool)
         for o in offsets:
@@ -103,8 +105,13 @@ def grow_boundary(seg, steps: int = 1, only_xy: bool = False, mask=None):
             inb = _in_bounds(s.shape, o)
             # differing labels erode each other; array border does not
             diff = (neighbor != s) & inb
-            if mask is not None:
-                diff = diff & (jnp.asarray(mask) > 0)
+            if in_mask is not None:
+                # out-of-mask voxels neither erode (centre in-mask) nor
+                # CAUSE erosion (neighbour in-mask): the reference
+                # treats masked-out values as same-label so blobs do
+                # not shrink at the mask border
+                # (gp/custom_grow_boundary.py:91-96)
+                diff = diff & in_mask & _shifted(in_mask, o, fill=0)
             boundary = boundary | diff
         return jnp.where(boundary, 0, s)
 

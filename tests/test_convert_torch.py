@@ -110,3 +110,66 @@ def test_wrong_checkpoint_raises(tmp_path):
     torch.save({"unrelated.weight": torch.zeros(3)}, path)
     with pytest.raises(KeyError):
         torch_to_params(load_torch_state_dict(path), model)
+
+
+def test_missing_bias_treated_as_zero(tmp_path):
+    """A bias=False conv (weight present, bias absent) converts with a
+    zero bias instead of a raw KeyError."""
+    model = _tiny_model()
+    state = _fake_reference_state(model)
+    del state["unet.l_conv.0.conv_pass.0.bias"]
+    params = torch_to_params(
+        {k: v.numpy() for k, v in state.items()}, model
+    )
+    b = params["unet"]["l_conv"][0]["layers"][0]["b"]
+    assert (b == 0).all()
+
+
+def test_transposed_upsample_parity():
+    """constant_upsample=False: converted ConvTranspose weights must
+    reproduce torch's transposed-conv output exactly."""
+    from bootstrapper_tpu.models.convert_torch import _to_jax_conv_transpose
+    from bootstrapper_tpu.models.unet import upsample_transposed
+
+    torch.manual_seed(0)
+    m = torch.nn.ConvTranspose3d(3, 5, kernel_size=(1, 2, 2),
+                                 stride=(1, 2, 2))
+    x = torch.randn(1, 3, 4, 6, 6)
+    ref = m(x).detach().numpy()
+    wj = _to_jax_conv_transpose(m.weight.detach().numpy())
+    y = upsample_transposed(
+        jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 4, 1))),
+        jnp.asarray(wj), jnp.asarray(m.bias.detach().numpy()),
+        (1, 2, 2), compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(y), (0, 4, 1, 2, 3)), ref,
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_transposed_upsample_keys_resolve():
+    """constant_upsample=False checkpoints map unet.r_up.{h}.{lvl}.up.*
+    (regression: the key was malformed and the branch unusable)."""
+    model = _tiny_model()
+    nc = dict(model.net_config)
+    nc["constant_upsample"] = False
+    model = Model(nc)
+    state = _fake_reference_state(model)
+    cfg = model.unet_config
+    rng = np.random.default_rng(1)
+    nf, inc = cfg.num_fmaps, cfg.fmap_inc_factor
+    for level in range(cfg.num_levels - 1):
+        ch = nf * inc ** (level + 1)
+        k = tuple(cfg.downsample_factors[level])
+        state[f"unet.r_up.0.{level}.up.weight"] = torch.tensor(
+            rng.normal(0, 0.1, (ch, ch, *k)).astype(np.float32)
+        )
+        state[f"unet.r_up.0.{level}.up.bias"] = torch.tensor(
+            rng.normal(0, 0.1, (ch,)).astype(np.float32)
+        )
+    params = torch_to_params(
+        {k: v.numpy() for k, v in state.items()}, model
+    )
+    up = params["unet"]["r_up"][0][0]
+    assert up is not None and up["w"].shape == (1, 2, 2, 4, 4)

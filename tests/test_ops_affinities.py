@@ -112,3 +112,22 @@ def test_balance_weights_slab():
     w = np.asarray(balance_weights(t, slab_axis=0))
     np.testing.assert_allclose(w[0, 0], 1 / (2 * 0.25), rtol=1e-6)
     np.testing.assert_allclose(w[1, 0], 1 / (2 * 0.75), rtol=1e-6)
+
+
+def test_grow_boundary_mask_border_does_not_erode():
+    """In-mask labels at the labels-mask border must NOT erode against
+    the out-of-mask region: masked-out voxels are treated as same-label
+    (reference gp/custom_grow_boundary.py:91-96)."""
+    seg = np.full((1, 6, 6), 5, np.uint64)
+    mask = np.zeros((1, 6, 6), np.uint64)
+    mask[:, :, :3] = 1  # right half unlabelled
+    out = np.asarray(grow_boundary(seg, steps=1, mask=mask))
+    # the whole in-mask object survives (no other label touches it)
+    np.testing.assert_array_equal(out[:, :, :3], 5)
+    # out-of-mask voxels are never modified
+    np.testing.assert_array_equal(out[:, :, 3:], 5)
+    # but two labels meeting INSIDE the mask still erode
+    seg2 = np.full((1, 6, 6), 5, np.uint64)
+    seg2[:, 3:, :] = 8
+    out2 = np.asarray(grow_boundary(seg2, steps=1, mask=np.ones_like(mask)))
+    assert (out2[:, 2:4, :] == 0).all()

@@ -141,3 +141,49 @@ def test_prepare_volume(tmp_path):
     assert "labels_mask_dataset" in v
     mask = open_ds(v["labels_mask_dataset"]).to_ndarray()
     np.testing.assert_array_equal(mask, (labels > 0).astype(np.uint8))
+
+
+def test_scale_pyramid_on_existing_s0_writes_siblings(tmp_path):
+    """Re-running scale-pyramid on a path that already ends in s0 must
+    write s1..sN NEXT to it (regression: they nested inside s0)."""
+    data = np.arange(4 * 16 * 16, dtype=np.uint8).reshape(4, 16, 16)
+    ds = prepare_ds(str(tmp_path / "t.zarr/raw/s0"), data.shape, (0, 0, 0), (40, 4, 4), np.uint8)
+    ds[ds.roi] = data
+    paths = scale_pyramid(str(tmp_path / "t.zarr/raw/s0"), scales=1, is_labels=False)
+    assert paths[0] == str(tmp_path / "t.zarr/raw/s0")
+    assert paths[1] == str(tmp_path / "t.zarr/raw/s1")
+    assert open_ds(paths[1]).spatial_shape == (4, 8, 8)
+    assert not os.path.exists(str(tmp_path / "t.zarr/raw/s0/s1"))
+
+
+def test_clahe_2d_narrow_section_no_nan():
+    """Sections narrower than tiles*tile_width leave empty edge tiles;
+    their mapping must be identity, not 0/0 = NaN garbage."""
+    rng = np.random.default_rng(0)
+    img = rng.integers(40, 200, (64, 12)).astype(np.uint8)
+    out = clahe_2d(img)
+    assert out.shape == img.shape
+    assert np.isfinite(out.astype(np.float64)).all()
+    # interpolation against the identity edge tile must stay in range
+    assert out.min() >= 0 and out.max() <= 255
+
+
+def test_merge_ids_survivor_is_pair_target(tmp_path):
+    """merge -p a,b keeps b (transitively: a->b then b->c keeps c)."""
+    seg = np.array([[[1, 2], [3, 7]]], np.uint64)
+    ds = prepare_ds(str(tmp_path / "t.zarr/seg"), seg.shape, (0, 0, 0), (1, 1, 1), np.uint64)
+    ds[ds.roi] = seg
+    out = merge_ids(
+        str(tmp_path / "t.zarr/seg"), str(tmp_path / "t.zarr/merged"),
+        [[1, 2], [2, 3]], num_workers=1,
+    )
+    merged = out.to_ndarray()
+    assert merged[0, 0, 0] == merged[0, 0, 1] == merged[0, 1, 0] == 3
+    assert merged[0, 1, 1] == 7
+    # reversed direction keeps the other endpoint
+    out2 = merge_ids(
+        str(tmp_path / "t.zarr/seg"), str(tmp_path / "t.zarr/merged2"),
+        [[3, 2], [2, 1]], num_workers=1,
+    )
+    m2 = out2.to_ndarray()
+    assert m2[0, 0, 0] == m2[0, 0, 1] == m2[0, 1, 0] == 1
