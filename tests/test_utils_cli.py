@@ -72,7 +72,9 @@ def test_utils_download_ckpts_missing_setup_message(runner, monkeypatch,
     # no shipped artefact for this name -> advises local training
     monkeypatch.setenv("BS_PRETRAINED_DIR", str(tmp_path / "empty"))
     res = runner.invoke(
-        cli, ["utils", "download-ckpts", "3d_affs_from_2d_lsd", "setups/x"],
+        cli,
+        ["utils", "download-ckpts", "3d_affs_from_2d_lsd",
+         str(tmp_path / "setups" / "x")],
         catch_exceptions=False,
     )
     assert res.exit_code == 0
