@@ -6,7 +6,16 @@ inflated tile (input_shape + shape_increase = 32x412x412 -> output
 ``bootstrapper/predict.py:114-117``) in bfloat16 on whatever accelerator
 JAX finds (the driver runs this on one real TPU chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints a JSON line {"metric", "value", "unit", "vs_baseline"} **as soon as
+the headline tiled measurement completes**, then RE-PRINTS an upgraded
+line after each optional stage (z-stream, secondary tile). The driver
+records the LAST line, so a timeout mid-run still lands the best number
+measured so far instead of nothing (round-3 lesson: BENCH_r03 rc=124
+recorded nothing because all output came at the very end).
+
+An overall wall-clock budget (``BS_BENCH_BUDGET_S``, default 1200 s)
+gates the optional stages: each stage only starts if enough budget
+remains for a cold-cache compile of its graphs.
 
 Baseline: the reference publishes no numbers (BASELINE.md). We therefore
 anchor against an analytic estimate of the reference torch path on an
@@ -27,6 +36,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_GPU_VOX_PER_SEC = 2.2e6
+
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BS_BENCH_BUDGET_S", "1200"))
+
+
+def _remaining_s() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _emit(result: dict) -> None:
+    """Print the current-best result line; the driver keeps the last one."""
+    print(json.dumps(result), flush=True)
 
 
 def _measure(model, shape_increase, iters):
@@ -182,23 +203,23 @@ def _measure_stream(model, n_steady=16):
     return total_vox / dt, tile, step_z
 
 
-def _device_health_check(timeout_s: float = 420.0):
+def _device_health_check(timeout_s: float = 180.0, attempts: int = 2):
     """Fail fast when the TPU relay is unreachable.
 
     With the axon plugin registered by the image's sitecustomize,
     jax.devices() HANGS FOREVER when the relay is down (even under
     JAX_PLATFORMS=cpu) — a silent driver stall. Probe in a disposable
     subprocess with a hard timeout and exit with one diagnostic JSON
-    line instead."""
+    line instead.
+
+    Two attempts x 180 s (was 3 x 420 s — that alone could burn the
+    driver's whole budget): a single probe can stall transiently right
+    after a heavy job releases the chip; a repeated failure means the
+    relay is actually down."""
     import subprocess
 
-    # Three attempts: a single probe can stall transiently right after a
-    # heavy job releases the chip (observed: first probe hung >300 s,
-    # a retry two minutes later answered in seconds), and under relay
-    # congestion even a trivial first op has measured 133 s. Only a
-    # repeated failure means the relay is actually down.
     rc = -1
-    for _ in range(3):
+    for attempt in range(attempts):
         try:
             rc = subprocess.run(
                 [sys.executable, "-c",
@@ -210,16 +231,17 @@ def _device_health_check(timeout_s: float = 420.0):
             rc = -1
         if rc == 0:
             break
-        time.sleep(30)
+        if attempt + 1 < attempts:
+            time.sleep(15)
     if rc != 0:
-        print(json.dumps({
+        _emit({
             "metric": "3d_affs_inference_output_voxels_per_sec_per_chip",
             "value": 0.0,
             "unit": "voxels/s",
             "vs_baseline": 0.0,
             "error": "TPU backend unreachable (device init failed or "
-                     f"hung >{timeout_s:.0f}s); relay down?",
-        }))
+                     f"hung >{timeout_s:.0f}s x{attempts}); relay down?",
+        })
         sys.exit(1)
 
 
@@ -241,46 +263,63 @@ def main():
     # voxel -> single-chip speed of light ~25.8 Mvox/s at 100% MXU.
     vox, tflops, ms, tile = _measure(model, [120, 344, 344], iters=10)
 
-    # production deep-volume path: overlap-save z-streaming. Headline
-    # = the best production number; the tiled per-tile figures stay in
-    # the JSON for cross-round comparability (r01/r02 measured tiled).
-    stream_vox = None
-    try:
-        stream_vox, stream_tile, step_z = _measure_stream(model)
-    except Exception as e:
-        print(f"# stream measurement failed: {e}", file=sys.stderr)
-
-    best = max(vox, stream_vox or 0.0)
+    # Emit the headline IMMEDIATELY — the driver records the last line,
+    # so if a later optional stage blows the budget this number still
+    # lands (round-3 lesson).
     result = {
         "metric": "3d_affs_inference_output_voxels_per_sec_per_chip",
-        "value": round(best, 1),
+        "value": round(vox, 1),
         "unit": "voxels/s",
-        "vs_baseline": round(best / REFERENCE_GPU_VOX_PER_SEC, 3),
+        "vs_baseline": round(vox / REFERENCE_GPU_VOX_PER_SEC, 3),
+        "mode": "tiled",
+        "tiled_vox_per_sec": round(vox, 1),
+        "tile": tile,
+        "dtype": "bfloat16",
     }
-    if stream_vox is not None:
-        result["mode"] = "zstream" if stream_vox >= vox else "tiled"
-        result["stream_vox_per_sec"] = round(stream_vox, 1)
-        result["stream_tile"] = stream_tile
-        result["stream_step_z"] = step_z
-    result["tiled_vox_per_sec"] = round(vox, 1)
     if tflops is not None:
         result["tiled_tflops_per_sec"] = round(tflops, 1)
         result["ms_per_tile"] = round(ms, 1)
-    result["tile"] = tile
-    result["dtype"] = "bfloat16"
+    _emit(result)
+
+    # production deep-volume path: overlap-save z-streaming. Headline
+    # = the best production number; the tiled per-tile figures stay in
+    # the JSON for cross-round comparability (r01/r02 measured tiled).
+    # Cold-cache the two stream graphs compile in ~2-6 min; only start
+    # if the budget allows, else ship the tiled number.
+    if _remaining_s() > 420.0:
+        try:
+            stream_vox, stream_tile, step_z = _measure_stream(model)
+        except Exception as e:
+            print(f"# stream measurement failed: {e}", file=sys.stderr)
+        else:
+            best = max(vox, stream_vox)
+            result["value"] = round(best, 1)
+            result["vs_baseline"] = round(
+                best / REFERENCE_GPU_VOX_PER_SEC, 3
+            )
+            result["mode"] = "zstream" if stream_vox >= vox else "tiled"
+            result["stream_vox_per_sec"] = round(stream_vox, 1)
+            result["stream_tile"] = stream_tile
+            result["stream_step_z"] = step_z
+            _emit(result)
+    else:
+        print("# budget: skipping z-stream stage", file=sys.stderr)
 
     # Secondary fixed tile (412-wide) for session-variance hygiene:
     # relay throughput swings ~±10% between sessions, so rounds are
     # compared on both sides of the fold/lazy-decoder tradeoff.
-    try:
-        vox2, _, ms2, tile2 = _measure(model, [60, 216, 216], iters=6)
-        result["tile2"] = tile2
-        result["tile2_vox_per_sec"] = round(vox2, 1)
-        result["tile2_ms"] = round(ms2, 1)
-    except Exception:
-        pass  # the headline metric stands alone if the 2nd tile fails
-
-    print(json.dumps(result))
+    if _remaining_s() > 240.0:
+        try:
+            vox2, _, ms2, tile2 = _measure(model, [60, 216, 216], iters=6)
+        except Exception:
+            pass  # the headline metric stands alone if the 2nd tile fails
+        else:
+            result["tile2"] = tile2
+            result["tile2_vox_per_sec"] = round(vox2, 1)
+            result["tile2_ms"] = round(ms2, 1)
+            _emit(result)
+    else:
+        print("# budget: skipping secondary tile stage", file=sys.stderr)
 
 
 if __name__ == "__main__":
