@@ -132,13 +132,22 @@ class TileWriter:
         self.clip_roi = clip_roi
         self._futures: List = []
 
-    def drain_batch(self, batch_tiles: Sequence[Roi], outs: Dict) -> None:
+    def drain_batch(
+        self,
+        batch_tiles: Sequence[Roi],
+        outs: Dict,
+        clips: Sequence[Roi] = None,
+    ) -> None:
         """Fetch one dispatched batch and write every tile of it.
 
         The ``np.asarray`` here is the blocking device->host fetch the
         one-deep pipeline hides behind the next batch's device compute.
         Entries in ``outs`` beyond ``len(batch_tiles)`` are padding
-        (short final batch) and are discarded.
+        (short final batch) and are discarded.  ``clips`` optionally
+        narrows each tile's write further (z-streaming segments own
+        disjoint z ranges; a segment's final-step overhang must not
+        overwrite the next segment's slices with values that can differ
+        by one quantization step across executables).
         """
         outs = {k: np.asarray(v) for k, v in outs.items()}
         for j, wroi in enumerate(batch_tiles):
@@ -147,6 +156,8 @@ class TileWriter:
                 dest = wroi.intersect(arr.roi)
                 if self.clip_roi is not None:
                     dest = dest.intersect(self.clip_roi)
+                if clips is not None:
+                    dest = dest.intersect(clips[j])
                 if dest.empty:
                     continue
                 sl = tuple(

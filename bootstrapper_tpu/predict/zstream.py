@@ -156,6 +156,63 @@ def plan_stream(
     return [0, inc_xy, inc_xy], s, warm_s
 
 
+def plan_z_groups(
+    n_z_slices: int,
+    n_cols: int,
+    n_dev: int,
+    s: int,
+    s_warm: int,
+    ctx_z: int,
+    max_groups: int = 64,
+) -> tuple:
+    """Split each xy column's z walk into ``G`` segments streamed on
+    separate devices, so deep-but-narrow volumes (fewer xy columns than
+    devices — round-3 verdict's ``n_cols < n_dev`` fallback) still fill
+    the mesh with zero-redundant-z streaming.
+
+    Each segment pays the warm step's z-context compute once (the warm
+    graph computes its full ``s_warm + ctx_z`` input extent, a steady
+    step computes only its ``s`` new slices), so G trades mesh
+    utilisation against redundant context.  Estimated total lockstep
+    time, in units of one steady step:
+
+        cost(G) = n_groups(G) * (n_steady(G) + (s_warm + ctx_z) / s)
+
+    where ``n_groups = ceil(n_cols * G / n_dev)`` (short groups idle
+    devices — that waste is exactly what splitting removes) and
+    ``n_steady = ceil((seg_slices - s_warm) / s)`` with per-segment
+    length ``seg_slices = ceil(n_z / G)`` rounded up to a multiple of
+    ``s_warm`` (segment starts stay on the s_warm output-chunk grid).
+    The model is FLOP-proportional: it ignores small-graph efficiency
+    differences, which measured within a few percent across step sizes
+    (plan_stream's sweep table).
+
+    Returns ``(G, seg_slices, overhead_factor)`` — ``overhead_factor``
+    is device-slices dispatched per useful output slice
+    (``cost * s * n_dev / (n_cols * n_z)``, >= 1); callers compare it
+    against the tiled path's z-context factor
+    ``(tiled_out_z + ctx_z) / tiled_out_z`` to decide whether streaming
+    still wins.  G=1 means no split (single-device always plans G=1).
+    """
+    if n_z_slices < 1 or n_cols < 1:
+        raise ValueError("need a non-empty volume")
+    warm_cost = (s_warm + ctx_z) / s
+    best = None
+    g_cap = max(1, min(max_groups, n_z_slices // max(1, s_warm)))
+    for g in range(1, g_cap + 1):
+        seg = -(-(-(-n_z_slices // g)) // s_warm) * s_warm
+        if (g - 1) * seg >= n_z_slices:
+            continue  # last segment would be empty
+        n_steady = max(0, -(-(seg - s_warm) // s))
+        n_groups = -(-(n_cols * g) // n_dev)
+        cost = n_groups * (n_steady + warm_cost)
+        if best is None or cost < best[0]:
+            best = (cost, g, seg)
+    cost, g, seg = best
+    factor = cost * s * n_dev / (n_cols * n_z_slices)
+    return g, seg, factor
+
+
 def _device_memory_bytes():
     """Per-device memory limit, when the backend reports one."""
     try:
@@ -368,34 +425,69 @@ class ZStreamPredictor:
         step_z = self.s * vz
         t0 = time.perf_counter()
 
-        # xy tiling identical to scan.Predictor; z walks B columns at a
-        # time in lockstep, in steps of s output slices (warmup first,
-        # then steady); B>1 shards one column per device
+        # xy tiling identical to scan.Predictor; z walks B virtual
+        # columns at a time in lockstep, in steps of s output slices
+        # (warmup first, then steady); B>1 shards one column per device.
+        # Deep-but-narrow volumes (fewer xy columns than devices) split
+        # each column's z walk into plan_z_groups segments — each a
+        # fresh stream on its own device — so the mesh stays full
+        # instead of falling back to context-recomputing tiled sharding.
         yx_total = Roi(total.begin[1:], total.shape[1:])
         yx_tiles = tile_rois(yx_total, Coordinate(self.output_size[1:]))
-        # z walk: one (possibly smaller) warm step, then steady steps
-        z_steps = [(total.begin[0], self.s_warm * vz)]
-        zb = total.begin[0] + self.s_warm * vz
-        while zb < total.end[0]:
-            z_steps.append((zb, step_z))
-            zb += step_z
-        n_steps = len(z_steps)
+        n_z = total.shape[0] // vz
+        n_groups_z, seg_slices = 1, n_z
+        if self.B > 1:
+            n_groups_z, seg_slices, _ = plan_z_groups(
+                n_z, len(yx_tiles), self.B, self.s, self.s_warm,
+                self.input_tile[0] - self.output_tile[0],
+            )
+        # virtual columns: (yx roi, segment z start, segment write clip);
+        # inner segments clip writes at the segment boundary (the next
+        # segment recomputes those slices from its own warm — values are
+        # equal up to executable-level float reassociation, so only one
+        # stream may own each output slice)
+        vcols = []
+        for g in range(n_groups_z):
+            z0 = total.begin[0] + g * seg_slices * vz
+            z_end = (
+                min(z0 + seg_slices * vz, total.end[0])
+                if g + 1 < n_groups_z
+                else total.end[0]
+            )
+            clip = Roi(
+                Coordinate((z0, *total.begin[1:])),
+                Coordinate((z_end - z0, *total.shape[1:])),
+            )
+            for yx in yx_tiles:
+                vcols.append((yx, z0, clip))
+        # per-segment z walk: one (possibly smaller) warm step, then a
+        # uniform number of steady steps (segments are equal-length so
+        # every stream in a lockstep group runs the same graph sequence;
+        # overhang past a segment/volume end is computed from reflect-
+        # padded reads and clipped at the write)
+        n_steady = max(0, -(-(seg_slices - self.s_warm) // self.s))
+        z_offsets = [(0, self.s_warm * vz)]
+        for k in range(n_steady):
+            z_offsets.append(
+                ((self.s_warm + k * self.s) * vz, step_z)
+            )
+        n_steps = len(z_offsets)
         groups = [
-            yx_tiles[i : i + self.B]
-            for i in range(0, len(yx_tiles), self.B)
+            vcols[i : i + self.B] for i in range(0, len(vcols), self.B)
         ]
 
-        items = []  # (is_warm, [write_roi per column in the group])
+        # (is_warm, [write_roi per column], [write clip per column])
+        items = []
         for grp in groups:
-            for k, (z0, zext) in enumerate(z_steps):
+            for k, (dz, zext) in enumerate(z_offsets):
                 wrois = [
                     Roi(
-                        Coordinate((z0, *yx.begin)),
+                        Coordinate((z0 + dz, *yx.begin)),
                         Coordinate((zext, *yx.shape)),
                     )
-                    for yx in grp
+                    for yx, z0, _ in grp
                 ]
-                items.append((k == 0, wrois))
+                items.append((k == 0, wrois, [c for _, _, c in grp]))
 
         def read_window(wroi, is_warm):
             if is_warm:
@@ -423,7 +515,7 @@ class ZStreamPredictor:
             return x
 
         def read_item(item):
-            is_warm, wrois = item
+            is_warm, wrois, _ = item
             arrs = [read_window(w, is_warm) for w in wrois]
             while len(arrs) < self.B:  # pad group; extras discarded
                 arrs.append(arrs[-1])
@@ -453,24 +545,25 @@ class ZStreamPredictor:
             items,
             read=read_item,
             dispatch=dispatch,
-            drain=lambda item, outs: writer.drain_batch(item[1], outs),
+            drain=lambda item, outs: writer.drain_batch(
+                item[1], outs, clips=item[2]
+            ),
         )
         writer.finish()
         state = None  # free the device caches
         dt = time.perf_counter() - t0
-        n_tiles = len(yx_tiles) * n_steps
-        # count written output slices: the final step's z overhang is
-        # computed (reflect-padded reads) but clipped at the write
-        z_slices = min(
-            sum(ext for _, ext in z_steps),
-            total.shape[0],
-        ) // vz
+        n_tiles = len(vcols) * n_steps
+        # count written output slices: each column's segments jointly
+        # cover the volume's z exactly once (overhang past a segment or
+        # volume end is computed from reflect-padded reads but clipped
+        # at the write)
         out_voxels = (
-            len(yx_tiles) * z_slices * int(np.prod(self.output_tile[1:]))
+            len(yx_tiles) * n_z * int(np.prod(self.output_tile[1:]))
         )
         return {
             "tiles": n_tiles,
             "columns": len(yx_tiles),
+            "z_segments": n_groups_z,
             "steps_per_column": n_steps,
             "devices": self.B,
             "seconds": dt,

@@ -107,18 +107,26 @@ def _maybe_zstream(
 ):
     """ZStreamPredictor when overlap-save z streaming applies, else None.
 
-    Streaming needs a 3D net that never pools z, a volume deeper than
+    Streaming needs a 3D net that never pools z and a volume deeper than
     one tiled z pass (``tiled_out_z`` — a single tiled pass already pays
     the z context exactly once, so streaming shallower volumes only adds
-    a second executable), and — in lockstep multi-device mode — at least
-    one xy column per device.  The stream retiles on its own memory
-    model: the z step is a free parameter, so freed HBM funds wider xy
-    tiles than the tiled auto-tile picks (``plan_stream``).
+    a second executable).  In lockstep multi-device mode, volumes with
+    fewer xy columns than devices split each column's z walk into
+    per-device segments (``plan_z_groups``); streaming is used whenever
+    its estimated per-voxel overhead (warm z-context per segment + idle
+    devices in short groups) stays below the tiled path's z-context
+    recompute factor.  The stream retiles on its own memory model: the
+    z step is a free parameter, so freed HBM funds wider xy tiles than
+    the tiled auto-tile picks (``plan_stream``).
     """
     if os.environ.get("BS_ZSTREAM", "1") != "1":
         return None
     from ..models.zstream import stream_eligible
-    from ..predict.zstream import ZStreamPredictor, plan_stream
+    from ..predict.zstream import (
+        ZStreamPredictor,
+        plan_stream,
+        plan_z_groups,
+    )
 
     if model.dims != 3 or not stream_eligible(model.unet_config):
         return None
@@ -133,8 +141,22 @@ def _maybe_zstream(
     n_cols = 1
     for v, t in zip(out_vox[1:], out_shape[1:]):
         n_cols *= -(-v // t)
-    if out_vox[0] <= tiled_out_z or n_cols < n_dev:
+    if out_vox[0] <= tiled_out_z:
         return None
+    if n_dev > 1:
+        nc = model.net_config
+        ctx_z = nc["input_shape"][0] - nc["output_shape"][0]
+        _, _, stream_factor = plan_z_groups(
+            out_vox[0], n_cols, n_dev, s_step, s_warm, ctx_z
+        )
+        tiled_factor = (tiled_out_z + ctx_z) / tiled_out_z
+        if stream_factor >= tiled_factor:
+            logger.info(
+                "z-stream overhead %.3f >= tiled z-context %.3f "
+                "(%d columns / %d devices): tiled sharding instead",
+                stream_factor, tiled_factor, n_cols, n_dev,
+            )
+            return None
     predictor = ZStreamPredictor(
         model, params, raw.voxel_size, shape_increase=s_inc,
         devices=devices, step_z=s_step, warm_step_z=s_warm,

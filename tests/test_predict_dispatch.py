@@ -110,13 +110,37 @@ def test_sharded_deep_volume_uses_mesh_zstream(tmp_path):
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )
-def test_sharded_narrow_volume_falls_back_to_batch_tiles(tmp_path):
-    # fewer xy columns (2) than devices: lockstep streaming would idle
-    # most of the mesh, so batch-of-tiles SPMD is used instead
+def test_sharded_deep_narrow_volume_z_segments_the_stream(tmp_path):
+    # fewer xy columns (2) than devices but deep z: each column's walk
+    # is split into per-device z segments (plan_z_groups) so the mesh
+    # stays full with zero-redundant-z streaming instead of falling
+    # back to context-recomputing batch-of-tiles (round-3 verdict #6)
     cfg_path, container = _make_setup(tmp_path, (32, 8, 16))
+    res = run_prediction(cfg_path, sharded="batch")
+    stats = res["v/3d_affs/5"]
+    assert stats["columns"] == 2  # zstream selected despite 2 < 8
+    assert stats["z_segments"] > 1
+    assert stats["columns"] * stats["z_segments"] >= 8 // 2
+    assert stats["devices"] == len(jax.devices())
+    arr = open_ds(f"{container}/3d_affs/5/3d_affs").to_ndarray()
+    assert arr.shape[1:] == (32, 8, 16)
+    assert (arr > 0).all()  # full coverage despite segment write clips
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_sharded_shallow_narrow_volume_falls_back_to_batch_tiles(
+    tmp_path,
+):
+    # 2 xy columns AND shallow z (8 slices, only ~2 tiny steps): even
+    # z-segmented streaming can't fill the mesh cheaply — the per-
+    # segment warm z-context would dominate — so batch-of-tiles SPMD
+    # is used instead
+    cfg_path, container = _make_setup(tmp_path, (8, 8, 16))
     res = run_prediction(cfg_path, sharded="batch")
     stats = res["v/3d_affs/5"]
     assert "columns" not in stats  # ShardedPredictor stats
     arr = open_ds(f"{container}/3d_affs/5/3d_affs").to_ndarray()
-    assert arr.shape[1:] == (32, 8, 16)
+    assert arr.shape[1:] == (8, 8, 16)
     assert (arr > 0).all()
