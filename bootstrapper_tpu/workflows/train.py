@@ -78,26 +78,36 @@ def run_training(config_file: str, **overrides) -> dict:
     batch_size = cfg.get("batch_size")
 
     model = Model.from_setup(setup_dir)
-    if not cfg.get("fold_xy", False):
+    fold = cfg.get("fold_xy")
+    if fold is None and (batch_size or 1) >= 8 and os.environ.get(
+        "BS_FOLD_PROBE", "1"
+    ) == "1":
+        # batch >= 8: folded training measured ~19% faster on v5e
+        # (tools/train_mfu.py --fold, 54.9% MFU at batch 16) AND the
+        # space-to-batch gradient crash only bites below batch 8 — but
+        # a CHECK crash on an unprobed shape would abort this process
+        # outright, so auto-enable only after a one-time disposable-
+        # subprocess compile probe of this exact (config, batch,
+        # backend) passes (train/fold_probe.py; verdict cached).
+        from ..train.fold_probe import folded_train_compiles
+
+        fold = folded_train_compiles(
+            model.net_config, int(batch_size)
+        )
+        if fold:
+            logger.info(
+                "fold probe passed: training folded (batch %d; "
+                "disable with fold_xy = false)", batch_size,
+            )
+    if not fold:
         # train unfolded — measured fastest at small batch, not just a
         # crash dodge: XLA's space-to-batch pass (which CHECK-fails on
         # folded-conv gradients but can be disabled via
         # compiler_options) wins 65% over folded training at the
         # reference recipe (batch 1), because the tiny 4x104x104 output
         # starves the MXU on batch, not lanes (tools/xla_s2b_probe.py:
-        # 133.8 vs 220.6 ms/step). At batch >= 8 the folded gradient
-        # both compiles (enough batch for the pass) and measured ~19%
-        # faster — hence the opt-in hint below; it stays opt-in because
-        # a CHECK crash on an unprobed shape would abort a non-relay
-        # process outright.
+        # 133.8 vs 220.6 ms/step).
         model = Model({**model.net_config, "fold_xy": False})
-        if (batch_size or 1) >= 8:
-            logger.info(
-                "batch_size >= 8: fold_xy = true measured ~19%% faster "
-                "on v5e (tools/train_mfu.py --fold); opt in via the "
-                "train config if the first compile succeeds on your "
-                "setup/shape"
-            )
     model.validate_shapes()
     spec = SetupSpec(model.net_config, tuple(voxel_size))
 

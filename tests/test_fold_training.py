@@ -53,11 +53,15 @@ def test_folded_large_batch_training(tmp_path):
     assert res["checkpoint"] and os.path.exists(res["checkpoint"])
 
 
-def test_default_training_unfolds(tmp_path, caplog):
-    """Without the opt-in the trainer strips the fold and, at
-    batch_size >= 8, logs the fold_xy hint."""
+def test_default_large_batch_training_probes_and_folds(
+    tmp_path, caplog, monkeypatch
+):
+    """With no fold_xy in the config and batch >= 8, the trainer
+    probe-compiles the folded step in a subprocess and, on success
+    (CPU always compiles it), trains folded; the verdict is cached."""
     import logging
 
+    monkeypatch.setenv("BS_CACHE_DIR", str(tmp_path / "cache"))
     setup_dir = _tiny_setup(tmp_path)
     toml = str(tmp_path / "train.toml")
     tomlio.dump({"train": {
@@ -68,4 +72,78 @@ def test_default_training_unfolds(tmp_path, caplog):
     with caplog.at_level(logging.INFO, logger="bootstrapper_tpu.workflows.train"):
         res = run_training(toml)
     assert np.isfinite(res["final_loss"])
-    assert any("fold_xy" in r.message for r in caplog.records)
+    assert any("fold probe passed" in r.message for r in caplog.records)
+    cache = json.load(open(tmp_path / "cache" / "fold_probe.json"))
+    (entry,) = cache.values()
+    assert entry["ok"] is True and entry["batch"] == 8
+
+
+def test_fold_probe_cache_prevents_respawn(tmp_path, monkeypatch):
+    monkeypatch.setenv("BS_CACHE_DIR", str(tmp_path / "cache"))
+    from bootstrapper_tpu.models import Model
+    from bootstrapper_tpu.train import fold_probe
+
+    nc = json.load(open(os.path.join(_tiny_setup(tmp_path), "net_config.json")))
+    Model(nc).validate_shapes()
+    assert fold_probe.folded_train_compiles(nc, 8) is True
+
+    def boom(*a, **k):
+        raise AssertionError("probe respawned despite cached verdict")
+
+    monkeypatch.setattr(fold_probe.subprocess, "run", boom)
+    assert fold_probe.folded_train_compiles(nc, 8) is True
+    # a different batch is a different executable: must re-probe
+    with np.testing.assert_raises(AssertionError):
+        fold_probe.folded_train_compiles(nc, 16)
+
+
+def test_failed_probe_verdict_trains_unfolded(tmp_path, caplog, monkeypatch):
+    """A cached negative verdict (e.g. the TPU space-to-batch CHECK
+    crash recorded on a previous run) keeps training unfolded without
+    re-spawning the probe."""
+    import logging
+
+    monkeypatch.setenv("BS_CACHE_DIR", str(tmp_path / "cache"))
+    setup_dir = _tiny_setup(tmp_path)
+    from bootstrapper_tpu.train import fold_probe
+
+    nc = json.load(open(os.path.join(setup_dir, "net_config.json")))
+    os.makedirs(tmp_path / "cache")
+    key = fold_probe._probe_key(nc, 8)
+    json.dump(
+        {key: {"ok": False, "batch": 8, "rc": -6, "why": "CHECK"}},
+        open(tmp_path / "cache" / "fold_probe.json", "w"),
+    )
+    monkeypatch.setattr(
+        fold_probe.subprocess, "run",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("respawned")),
+    )
+    toml = str(tmp_path / "train.toml")
+    tomlio.dump({"train": {
+        "setup_dir": setup_dir, "voxel_size": [1, 1, 1],
+        "max_iterations": 2, "save_checkpoints_every": 2,
+        "save_snapshots_every": 0, "batch_size": 8,
+    }}, toml)
+    with caplog.at_level(logging.INFO, logger="bootstrapper_tpu.workflows.train"):
+        res = run_training(toml)
+    assert np.isfinite(res["final_loss"])
+    assert not any("fold probe passed" in r.message for r in caplog.records)
+
+
+def test_fold_probe_disabled_by_env(tmp_path, monkeypatch):
+    monkeypatch.setenv("BS_FOLD_PROBE", "0")
+    from bootstrapper_tpu.train import fold_probe
+
+    monkeypatch.setattr(
+        fold_probe, "folded_train_compiles",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("probed")),
+    )
+    setup_dir = _tiny_setup(tmp_path)
+    toml = str(tmp_path / "train.toml")
+    tomlio.dump({"train": {
+        "setup_dir": setup_dir, "voxel_size": [1, 1, 1],
+        "max_iterations": 2, "save_checkpoints_every": 2,
+        "save_snapshots_every": 0, "batch_size": 8,
+    }}, toml)
+    res = run_training(toml)
+    assert np.isfinite(res["final_loss"])
