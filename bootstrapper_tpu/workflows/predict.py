@@ -103,7 +103,8 @@ def _align_chain_inputs(model, arrays, labels):
 
 
 def _maybe_zstream(
-    model, params, raw, out_vox, fit_tile, tiled_out_z, devices=None
+    model, params, raw, out_vox, fit_tile, tiled_out_z,
+    tiled_out_xy=None, devices=None,
 ):
     """ZStreamPredictor when overlap-save z streaming applies, else None.
 
@@ -130,31 +131,55 @@ def _maybe_zstream(
 
     if model.dims != 3 or not stream_eligible(model.unet_config):
         return None
-    n_dev = len(devices) if devices is not None else 1
-    s_inc, s_step, s_warm = plan_stream(
-        model.net_config, out_vox, min_columns=n_dev
-    )
-    s_inc = fit_tile(s_inc)
-    out_shape = [
-        a + b for a, b in zip(model.net_config["output_shape"], s_inc)
-    ]
-    n_cols = 1
-    for v, t in zip(out_vox[1:], out_shape[1:]):
-        n_cols *= -(-v // t)
     if out_vox[0] <= tiled_out_z:
         return None
-    if n_dev > 1:
-        nc = model.net_config
-        ctx_z = nc["input_shape"][0] - nc["output_shape"][0]
-        _, _, stream_factor = plan_z_groups(
-            out_vox[0], n_cols, n_dev, s_step, s_warm, ctx_z
+    nc = model.net_config
+    ctx_z = nc["input_shape"][0] - nc["output_shape"][0]
+    ctx_xy = nc["input_shape"][1] - nc["output_shape"][1]
+    n_dev = len(devices) if devices is not None else 1
+
+    def columns(inc):
+        out_shape = [a + b for a, b in zip(nc["output_shape"], inc)]
+        n = 1
+        for v, t in zip(out_vox[1:], out_shape[1:]):
+            n *= -(-v // t)
+        return n, out_shape
+
+    # Two candidate plans: (a) xy tiles shrunk until every device gets
+    # a column; (b) widest xy tiles, mesh filled by z-segmenting each
+    # column (plan_z_groups).  Compare on estimated device-work per
+    # output voxel — z overhead (warm context + idle padding) times xy
+    # context overhead — and stream only if the winner also beats the
+    # tiled path's recompute factor.
+    cands = []
+    for min_cols in {n_dev, 1}:
+        inc, step, warm = plan_stream(
+            nc, out_vox, min_columns=min_cols
         )
-        tiled_factor = (tiled_out_z + ctx_z) / tiled_out_z
-        if stream_factor >= tiled_factor:
+        inc = fit_tile(inc)
+        ncols, out_shape = columns(inc)
+        if n_dev > 1:
+            _, _, zf = plan_z_groups(
+                out_vox[0], ncols, n_dev, step, warm, ctx_z
+            )
+        else:
+            zf = 1.0  # single device: whole-volume stream, no warm split
+        xyf = ((out_shape[1] + ctx_xy) / out_shape[1]) * (
+            (out_shape[2] + ctx_xy) / out_shape[2]
+        )
+        cands.append((zf * xyf, inc, step, warm, ncols))
+    total, s_inc, s_step, s_warm, n_cols = min(cands)
+    if n_dev > 1:
+        tiled_total = ((tiled_out_z + ctx_z) / tiled_out_z) * (
+            ((tiled_out_xy + ctx_xy) / tiled_out_xy) ** 2
+            if tiled_out_xy
+            else 1.0
+        )
+        if total >= tiled_total:
             logger.info(
-                "z-stream overhead %.3f >= tiled z-context %.3f "
-                "(%d columns / %d devices): tiled sharding instead",
-                stream_factor, tiled_factor, n_cols, n_dev,
+                "z-stream overhead %.3f >= tiled %.3f (%d columns / "
+                "%d devices): tiled sharding instead",
+                total, tiled_total, n_cols, n_dev,
             )
             return None
     predictor = ZStreamPredictor(
@@ -304,6 +329,8 @@ def run_prediction(
                     model, params, raw, out_vox, fit_tile,
                     tiled_out_z=model.net_config["output_shape"][0]
                     + fitted[0],
+                    tiled_out_xy=model.net_config["output_shape"][1]
+                    + fitted[1],
                     devices=jax.devices(),
                 )
                 if predictor is None:

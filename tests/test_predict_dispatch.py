@@ -130,6 +130,26 @@ def test_sharded_deep_narrow_volume_z_segments_the_stream(tmp_path):
 @pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )
+def test_sharded_narrow_volume_prefers_wide_tiles_over_column_shrink(
+    tmp_path,
+):
+    # (64,32,32): shrinking xy tiles to 12 would give 9 columns (one
+    # per device) but ~19x xy-context overhead; the planner must pick
+    # the full-width 32 tile (1 column, ~5x overhead) and fill the
+    # mesh by z-segmenting instead
+    cfg_path, container = _make_setup(tmp_path, (64, 32, 32))
+    res = run_prediction(cfg_path, sharded="batch")
+    stats = res["v/3d_affs/5"]
+    assert stats["columns"] == 1  # wide tile won the plan comparison
+    assert stats["z_segments"] > 1
+    arr = open_ds(f"{container}/3d_affs/5/3d_affs").to_ndarray()
+    assert arr.shape[1:] == (64, 32, 32)
+    assert (arr > 0).all()
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
 def test_sharded_shallow_narrow_volume_falls_back_to_batch_tiles(
     tmp_path,
 ):
