@@ -151,6 +151,25 @@ def pallas_conv3d(
     _, d, h, ww, cx = x.shape
     if cx != ci:
         raise ValueError(f"channel mismatch: x {cx} vs w {ci}")
+    w_out_real = ww - kw + 1
+    # Mosaic constrains manual-DMA slice extents to the (sublane, lane)
+    # tiling: the x window's W must be a multiple of 8 and its C a
+    # multiple of 128.  Zero-pad (zero input channels with zero weight
+    # rows are exact; padded W columns produce garbage outputs cropped
+    # below).  The MXU pads K to 128 lanes internally either way, so
+    # the only real cost is the pad copy of x.
+    w_pad = (-ww) % 8
+    c_pad = (-ci) % 128
+    if w_pad or c_pad:
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (0, w_pad), (0, c_pad))
+        )
+        if c_pad:
+            w = jnp.pad(
+                w, ((0, 0), (0, 0), (0, 0), (0, c_pad), (0, 0))
+            )
+        ww += w_pad
+        ci += c_pad
     d_out, h_out, w_out = d - kd + 1, h - kh + 1, ww - kw + 1
     if block_y <= 0:
         block_y = _pick_block_y(h_out)
@@ -182,7 +201,11 @@ def pallas_conv3d(
         kernel,
         grid=(d_out, h_out // block_y),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            # x must stay in HBM: ANY lets the compiler pick VMEM for
+            # small inputs, where the DMA's window slice hits sublane
+            # tiling alignment rules (Mosaic: "slice shape along
+            # dimension 2 must be aligned to tiling (8)")
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # all taps' weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
         ],
@@ -212,4 +235,6 @@ def pallas_conv3d(
         ),
         interpret=interpret,
     )(x[0], wt, b.astype(dt))
+    if w_pad:
+        out = out[:, :, :w_out_real, :]
     return out[None]
