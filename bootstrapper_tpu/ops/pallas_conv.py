@@ -1,58 +1,55 @@
 """Hand-scheduled Pallas TPU kernel for 3D VALID convolution.
 
-Target: the U-Net decoder conv fusions that xprof pins at ~35% MXU
-efficiency under XLA's default lowering (the narrow folded decoder
-levels and the 300-channel level-2 up-convs — BASELINE.md round-2/3
-xprof tables; SURVEY §7.1 "Pallas kernels for conv/transpose-conv where
-XLA's defaults underperform").  The reference leaves convolutions to
-cuDNN (``bootstrapper/models/3d_affs/unet.py:440-478``); on TPU the
-equivalent "let the library do it" is XLA, and this kernel exists to
-beat XLA exactly where measurement says it underperforms.
+Target: the U-Net conv fusions that xprof pins at low MXU efficiency
+under XLA's default lowering — measured on-chip (tools/
+pallas_conv_probe.py): the 300-channel level-2 convs run at 30-66
+TF/s (15-33% of the v5e's 197 TF/s bf16 peak).  The reference leaves
+convolutions to cuDNN (``bootstrapper/models/3d_affs/unet.py:440-478``);
+on TPU the equivalent "let the library do it" is XLA, and this kernel
+exists to beat XLA exactly where measurement says it underperforms
+(SURVEY §7.1).
 
-Design — tap-accumulated matmul:
+Design — flattened tap-accumulated matmul:
 
     out[z,y,x,co] = Σ_{dz,dy,dx,ci} in[z+dz, y+dy, x+dx, ci] · w[dz,dy,dx,ci,co]
 
-For each of the kd·kh·kw taps, a [W_out, Cin] x [Cin, Cout] MXU matmul
-per output row, accumulated in fp32.  The input stays in HBM and each
-grid step (one z, ``block_y`` output rows) DMAs its
-[kd, block_y+kh-1, W_in, Cin] window into a double-buffered VMEM
-scratch, so the next window loads while the current one computes
-(compute-bound by ~7x at the target shapes: 3.1 MFLOP vs ~1.8 KB HBM
-traffic per output voxel at Cin=Cout=240).  Weights live in VMEM whole
-(27·Cin·Cout bf16 — up to ~5 MB at the 300-channel level; the
-1500-channel bottom conv is out of scope, and XLA already runs it at
-high efficiency).
+The (H, W) plane is flattened to one row axis, so for each of the
+kd·kh·kw taps the whole (block_y·W)-row window is ONE
+[block_y·W, Cin] x [Cin, Cout] MXU matmul (v1 did one small matmul per
+output row — M=118 starved the MXU and accumulator traffic dominated).
+Outputs at the last kw-1 columns of each row mix row ends ("wrap
+garbage", ~2% of compute) and are cropped by the wrapper, as are the
+rows/columns introduced by alignment padding.
 
-Efficiency model at the folded 60-channel decoder level (Cin=Cout=240,
-W_out≈268): M=268→pad 384, K=N=240→pad 256 gives a ~62% MXU ceiling —
-against the ~35% XLA measures there.  Bias add and ReLU are fused
-(VPU, free next to the matmuls).
+The input stays in HBM; each grid step (one z, ``block_y`` output
+rows) DMAs its [kd, (block_y+kh-1)·W, Cin] window into a
+double-buffered VMEM scratch so the next window loads while the
+current one computes (compute-bound ~7x at the target shapes).
+Weights live in VMEM whole (kd·kh·kw · Cin · Cout bf16, capped at
+~6 MB — the 1500-channel bottom convs are out of scope and already
+run efficiently under XLA).  Bias add and ReLU are fused.
+
+Alignment rules (Mosaic): manual-DMA slice extents must be multiples
+of the (8, 128) tile, so the wrapper zero-pads W to 8k (flat rows stay
+8-aligned), H so the row-block count divides evenly, and Cin to 128k
+(exact: zero channels meet zero weight rows; the MXU pads K to lane
+multiples internally anyway).
 """
 
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _pick_block_y(h_out: int, target: int = 8) -> int:
-    """Largest divisor of ``h_out`` that is <= target (DMA windows and
-    output blocks must tile H exactly; remainder rows would need
-    masking that costs more than a slightly smaller block)."""
-    for b in range(min(target, h_out), 0, -1):
-        if h_out % b == 0:
-            return b
-    return 1
+#: output rows per grid step; H is padded so this always divides
+BLOCK_Y = 8
 
 
-def conv3d_supported(x_shape, w_shape, block_y: int = 8) -> bool:
+def conv3d_supported(x_shape, w_shape) -> bool:
     """Cheap static predicate: shapes this kernel handles well."""
     if len(x_shape) != 5 or x_shape[0] != 1 or len(w_shape) != 5:
         return False
@@ -69,22 +66,23 @@ def conv3d_supported(x_shape, w_shape, block_y: int = 8) -> bool:
 
 def _conv3d_kernel(
     x_hbm, w_ref, b_ref, out_ref, buf, sem, *,
-    taps, block_y, w_out, n_grid, relu,
+    taps, wp, n_rows_out, n_grid, relu, out_dtype,
 ):
-    kd, kh, _ = (
-        max(t[0] for t in taps) + 1,
-        max(t[1] for t in taps) + 1,
-        max(t[2] for t in taps) + 1,
-    )
+    kd = max(t[0] for t in taps) + 1
+    kh = max(t[1] for t in taps) + 1
     zo = pl.program_id(0)
     yo = pl.program_id(1)
     n_y = pl.num_programs(1)
     step = zo * n_y + yo
+    # +8: the dx taps shift the window start by up to kw-1 flat rows,
+    # so the last tap reads past the (BLOCK_Y+kh-1)*wp rows of the
+    # plain window; x_flat carries 8 zero rows at the end to match
+    win_rows = (BLOCK_Y + kh - 1) * wp + 8
 
     def window_copy(slot, zi, yi):
         return pltpu.make_async_copy(
             x_hbm.at[
-                pl.ds(zi, kd), pl.ds(yi * block_y, block_y + kh - 1)
+                pl.ds(zi, kd), pl.ds(yi * BLOCK_Y * wp, win_rows)
             ],
             buf.at[slot],
             sem.at[slot],
@@ -105,31 +103,25 @@ def _conv3d_kernel(
     slot = step % 2
     window_copy(slot, zo, yo).wait()
 
-    bias = b_ref[:].astype(jnp.float32)[None, :]
-
-    def y_body(y, _):
-        acc = None
-        for t, (dz, dy, dx) in enumerate(taps):
-            xs = buf[slot, dz, y + dy, dx : dx + w_out, :]
-            p = jax.lax.dot_general(
-                xs,
-                w_ref[t],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc = p if acc is None else acc + p
-        acc = acc + bias
-        if relu:
-            acc = jnp.maximum(acc, 0.0)
-        out_ref[0, y, :, :] = acc.astype(out_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, block_y, y_body, 0)
+    acc = None
+    for t, (dz, dy, dx) in enumerate(taps):
+        xs = buf[slot, dz, pl.ds(dy * wp + dx, n_rows_out), :]
+        p = jax.lax.dot_general(
+            xs,
+            w_ref[t],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = p if acc is None else acc + p
+    acc = acc + b_ref[:].astype(jnp.float32)[None, :]
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    out_ref[0, :, :] = acc.astype(out_dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relu", "block_y", "out_dtype", "interpret"),
+    static_argnames=("relu", "out_dtype", "interpret"),
 )
 def pallas_conv3d(
     x,
@@ -137,7 +129,6 @@ def pallas_conv3d(
     b,
     *,
     relu: bool = False,
-    block_y: int = 0,
     out_dtype=None,
     interpret: bool = False,
 ):
@@ -151,72 +142,75 @@ def pallas_conv3d(
     _, d, h, ww, cx = x.shape
     if cx != ci:
         raise ValueError(f"channel mismatch: x {cx} vs w {ci}")
-    w_out_real = ww - kw + 1
-    # Mosaic constrains manual-DMA slice extents to the (sublane, lane)
-    # tiling: the x window's W must be a multiple of 8 and its C a
-    # multiple of 128.  Zero-pad (zero input channels with zero weight
-    # rows are exact; padded W columns produce garbage outputs cropped
-    # below).  The MXU pads K to 128 lanes internally either way, so
-    # the only real cost is the pad copy of x.
+    d_out = d - kd + 1
+    h_out_real, w_out_real = h - kh + 1, ww - kw + 1
+    # alignment padding (see module docstring): W -> 8k, H -> so that
+    # BLOCK_Y divides h_out, Cin -> 128k
     w_pad = (-ww) % 8
+    h_pad = (-(h - kh + 1)) % BLOCK_Y
     c_pad = (-ci) % 128
-    if w_pad or c_pad:
+    if w_pad or c_pad or h_pad:
         x = jnp.pad(
-            x, ((0, 0), (0, 0), (0, 0), (0, w_pad), (0, c_pad))
+            x, ((0, 0), (0, 0), (0, h_pad), (0, w_pad), (0, c_pad))
         )
         if c_pad:
             w = jnp.pad(
                 w, ((0, 0), (0, 0), (0, 0), (0, c_pad), (0, 0))
             )
+        h += h_pad
         ww += w_pad
         ci += c_pad
-    d_out, h_out, w_out = d - kd + 1, h - kh + 1, ww - kw + 1
-    if block_y <= 0:
-        block_y = _pick_block_y(h_out)
-    if h_out % block_y:
-        raise ValueError(f"H_out {h_out} not divisible by {block_y}")
+    h_out = h - kh + 1
+    dt = x.dtype
+    out_dt = out_dtype or dt
     taps = [
         (dz, dy, dx)
         for dz in range(kd)
         for dy in range(kh)
         for dx in range(kw)
     ]
-    dt = x.dtype
-    n_grid = d_out * (h_out // block_y)
+    n_y = h_out // BLOCK_Y
+    n_grid = d_out * n_y
+    n_rows_out = BLOCK_Y * ww  # flat output rows per grid step
     kernel = functools.partial(
         _conv3d_kernel,
         taps=taps,
-        block_y=block_y,
-        w_out=w_out,
+        wp=ww,
+        n_rows_out=n_rows_out,
         n_grid=n_grid,
         relu=relu,
+        out_dtype=out_dt,
     )
     wt = w.reshape(kd * kh * kw, ci, co).astype(dt)
+    # 8 zero tail rows: see window_copy comment in the kernel
+    x_flat = jnp.pad(
+        x[0].reshape(d, h * ww, ci), ((0, 0), (0, 8), (0, 0))
+    )
+    win_rows = (BLOCK_Y + kh - 1) * ww + 8
     vmem_bytes = (
-        2 * kd * (block_y + kh - 1) * ww * ci * dt.itemsize  # buf
+        2 * kd * win_rows * ci * dt.itemsize  # double-buffered window
         + wt.size * dt.itemsize
-        + block_y * w_out * co * (dt.itemsize + 4)  # out blk + fp32 acc
+        + n_rows_out * co * (dt.itemsize + 4)  # out block + fp32 acc
     )
     out = pl.pallas_call(
         kernel,
-        grid=(d_out, h_out // block_y),
+        grid=(d_out, n_y),
         in_specs=[
-            # x must stay in HBM: ANY lets the compiler pick VMEM for
-            # small inputs, where the DMA's window slice hits sublane
-            # tiling alignment rules (Mosaic: "slice shape along
-            # dimension 2 must be aligned to tiling (8)")
+            # x stays in HBM; windows are DMA'd manually (ANY lets
+            # small inputs land in VMEM where window slices hit
+            # sublane-tiling alignment rules)
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # all taps' weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
         ],
         out_specs=pl.BlockSpec(
-            (1, block_y, w_out, co), lambda zo, yo: (zo, yo, 0, 0)
+            (1, n_rows_out, co), lambda zo, yo: (zo, yo, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (d_out, h_out, w_out, co), out_dtype or dt
+            (d_out, h_out * ww, co), out_dt
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, kd, block_y + kh - 1, ww, ci), dt),
+            pltpu.VMEM((2, kd, win_rows, ci), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -225,16 +219,13 @@ def pallas_conv3d(
             ),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * d_out * h_out * w_out * ci * co * len(taps),
+            flops=2 * d_out * h_out * ww * ci * co * len(taps),
             bytes_accessed=dt.itemsize
-            * (
-                n_grid * kd * (block_y + kh - 1) * ww * ci
-                + d_out * h_out * w_out * co
-            ),
+            * (n_grid * kd * win_rows * ci + d_out * h_out * ww * co),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x[0], wt, b.astype(dt))
-    if w_pad:
-        out = out[:, :, :w_out_real, :]
-    return out[None]
+    )(x_flat, wt, b.astype(dt))
+    # unflatten and crop wrap-garbage columns + alignment padding
+    out = out.reshape(d_out, h_out, ww, co)
+    return out[None, :, :h_out_real, :w_out_real, :]

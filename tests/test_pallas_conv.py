@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 from bootstrapper_tpu.ops.pallas_conv import (
-    _pick_block_y,
     conv3d_supported,
     pallas_conv3d,
 )
@@ -72,7 +71,7 @@ def test_pallas_conv3d_bf16_close():
     np.testing.assert_allclose(got, ref, atol=0.15, rtol=0.05)
 
 
-def test_supported_predicate_and_block_pick():
+def test_supported_predicate():
     assert conv3d_supported((1, 6, 12, 10, 128), (3, 3, 3, 128, 64))
     # narrow contraction: leave to XLA
     assert not conv3d_supported((1, 6, 12, 10, 48), (3, 3, 3, 48, 48))
@@ -82,6 +81,3 @@ def test_supported_predicate_and_block_pick():
     assert not conv3d_supported(
         (1, 6, 12, 10, 1500), (3, 3, 3, 1500, 1500)
     )
-    assert _pick_block_y(104) == 8
-    assert _pick_block_y(7) == 7
-    assert _pick_block_y(13) == 1
