@@ -338,6 +338,23 @@ def train(config_file, max_iterations, batch_size, save_checkpoints_every,
         ),
         mesh=mesh,
     )
+    if result.get("rss_limit_hit") and os.environ.get(
+        "BS_RSS_RESPAWN", "1"
+    ) == "1":
+        # the TPU-relay client's per-batch host leak (BASELINE.md
+        # round 4) is only reclaimable by replacing the process:
+        # re-exec this exact command — auto-resume continues from the
+        # checkpoint just written. Standalone train owns its process,
+        # so exec is safe here (multi-stage `bs run` runs training in
+        # its own stage process).
+        import sys
+
+        cli_echo(
+            f"training paused at iteration {result['iterations']} "
+            "(relay-client RSS cap) — re-executing to reclaim memory "
+            "and resume", "train",
+        )
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     cli_echo(f"done: {result}", "train")
 
 

@@ -36,6 +36,18 @@ from ..utils import tomlio
 logger = logging.getLogger(__name__)
 
 
+def _rss_gb() -> float:
+    """Current host RSS in GB (0 when /proc is unavailable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024 / 1024
+    except OSError:
+        pass
+    return 0.0
+
+
 def setup_train(config_file: str, **overrides) -> dict:
     """Load + validate a training config; apply kwarg overrides (the
     reference writes a ``*_modified.toml`` on overrides — same here)."""
@@ -193,11 +205,25 @@ def run_training(config_file: str, **overrides) -> dict:
     log_path = os.path.join(log_dir, "loss.jsonl")
     snap_dir = os.path.join(setup_dir, "snapshots")
 
+    # RSS watchdog: the axon relay CLIENT leaks ~5 MB of host memory
+    # per dispatched batch (diagnosed round 4, tools/train_rate_probe.py:
+    # 30 GB over 5000 iters on the relay; flat on CPU; present with the
+    # train step removed) — long runs die by host OOM around 15-25k
+    # iterations, which round 3 saw as a "~3x rate decay" and
+    # band-aided with subprocess chunking. The leak is unreachable from
+    # Python, so past the cap we checkpoint, stop cleanly, and let the
+    # caller resume in a fresh process (auto-resume picks up the
+    # checkpoint; `bs train` re-execs itself automatically).
+    max_rss_gb = float(os.environ.get("BS_MAX_RSS_GB", "64"))
+    rss_check_every = int(os.environ.get("BS_RSS_CHECK_EVERY", "100"))
+    rss_hit = False
+
     t0 = time.perf_counter()
     losses = []
     try:
         with open(log_path, "a") as logf:
             placed_state = False
+            it = start_iter - 1
             for it in range(start_iter, max_iterations):
                 batch = pipeline.next_batch()
                 if place is not None:
@@ -228,10 +254,28 @@ def run_training(config_file: str, **overrides) -> dict:
                     logger.info("saved %s", path)
                 if snap_every and (it + 1) % snap_every == 0:
                     _save_snapshot(snap_dir, it + 1, batch, model, state)
+                if (
+                    max_rss_gb > 0
+                    and (it + 1) % rss_check_every == 0
+                    and it + 1 < max_iterations
+                    and _rss_gb() > max_rss_gb
+                ):
+                    save_checkpoint(setup_dir, state, it + 1)
+                    logger.warning(
+                        "host RSS %.1f GB exceeds BS_MAX_RSS_GB=%g "
+                        "(known TPU-relay client leak, BASELINE.md "
+                        "round 4): checkpointed at iteration %d and "
+                        "stopping — resume in a fresh process (auto-"
+                        "resume continues from this checkpoint)",
+                        _rss_gb(), max_rss_gb, it + 1,
+                    )
+                    rss_hit = True
+                    break
     finally:
         pipeline.stop()
     return {
-        "iterations": max_iterations,
+        "iterations": it + 1,
+        "rss_limit_hit": rss_hit,
         "final_loss": losses[-1] if losses else None,
         "checkpoint": latest_checkpoint(setup_dir),
     }

@@ -130,6 +130,40 @@ def test_failed_probe_verdict_trains_unfolded(tmp_path, caplog, monkeypatch):
     assert not any("fold probe passed" in r.message for r in caplog.records)
 
 
+def test_rss_watchdog_checkpoints_and_stops(tmp_path, monkeypatch, caplog):
+    """The relay-client host-memory leak (BASELINE.md round 4) is
+    unreclaimable in-process: past BS_MAX_RSS_GB the trainer must
+    checkpoint, stop cleanly, and flag the result so the caller can
+    resume in a fresh process."""
+    import logging
+
+    monkeypatch.setenv("BS_MAX_RSS_GB", "0.0001")  # trips immediately
+    monkeypatch.setenv("BS_RSS_CHECK_EVERY", "2")
+    setup_dir = _tiny_setup(tmp_path)
+    toml = str(tmp_path / "train.toml")
+    tomlio.dump({"train": {
+        "setup_dir": setup_dir, "voxel_size": [1, 1, 1],
+        "max_iterations": 6, "save_checkpoints_every": 100,
+        "save_snapshots_every": 0,
+    }}, toml)
+    with caplog.at_level(
+        logging.WARNING, logger="bootstrapper_tpu.workflows.train"
+    ):
+        res = run_training(toml)
+    assert res["rss_limit_hit"] is True
+    assert res["iterations"] == 2  # stopped at the first check
+    assert res["checkpoint"].endswith("model_checkpoint_2")
+    assert os.path.exists(res["checkpoint"])
+    assert any("BS_MAX_RSS_GB" in r.message for r in caplog.records)
+
+    # a fresh run resumes from the watchdog checkpoint
+    monkeypatch.setenv("BS_MAX_RSS_GB", "0")  # watchdog off
+    res2 = run_training(toml)
+    assert res2["rss_limit_hit"] is False
+    assert res2["iterations"] == 6
+    assert res2["checkpoint"].endswith("model_checkpoint_6")
+
+
 def test_fold_probe_disabled_by_env(tmp_path, monkeypatch):
     monkeypatch.setenv("BS_FOLD_PROBE", "0")
     from bootstrapper_tpu.train import fold_probe
