@@ -13,6 +13,7 @@ workers runs, ``predict.py:128-179``).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import Callable, Dict, Iterable, List, Sequence
@@ -28,6 +29,54 @@ from ..models.model import head_dims
 # 64 tile-sized uint8 buffers is plenty of write-behind without letting
 # a slow filesystem accumulate the whole prediction in RAM.
 MAX_PENDING_WRITES = 64
+
+
+def _fetch_streams() -> int:
+    """Concurrent device->host fetch streams for output draining.
+
+    Opt-in knob (``BS_FETCH_STREAMS``), default 1.  Measured on the
+    axon TPU relay (BASELINE.md round 4): the link rate itself
+    fluctuates 10-30 MB/s minute to minute, and once that variance is
+    controlled for, 8 concurrent slice fetches are NEUTRAL vs one
+    serial fetch (30.2 vs 27.8 MB/s same-minute) — an early "3x"
+    reading was two measurements landing on opposite swings.  Local
+    backends move GB/s on one stream, where chunking only adds
+    overhead.  Kept as a knob for link types where per-stream caps are
+    real (e.g. TCP-windowed tunnels)."""
+    env = os.environ.get("BS_FETCH_STREAMS")
+    if env:
+        return max(1, int(env))
+    return 1
+
+
+def fetch_device_array(v, streams: int = None) -> np.ndarray:
+    """Device->host fetch, optionally split into ``streams`` concurrent
+    slice fetches along the largest axis (relay links scale with
+    stream count; see ``_fetch_streams``)."""
+    if streams is None:
+        streams = _fetch_streams()
+    shape = getattr(v, "shape", ())
+    if streams <= 1 or not shape or max(shape) < streams:
+        return np.asarray(v)
+    ax = int(np.argmax(shape))
+    n = shape[ax]
+    bounds = [n * i // streams for i in range(streams + 1)]
+    parts: list = [None] * streams
+    sl = [slice(None)] * len(shape)
+
+    def work(i):
+        s = list(sl)
+        s[ax] = slice(bounds[i], bounds[i + 1])
+        parts[i] = np.asarray(v[tuple(s)])
+
+    threads = [
+        threading.Thread(target=work, args=(i,)) for i in range(streams)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return np.concatenate(parts, axis=ax)
 
 
 def make_tile_reader(inputs: Sequence[Array], context, is_image: bool):
@@ -149,7 +198,7 @@ class TileWriter:
         overwrite the next segment's slices with values that can differ
         by one quantization step across executables).
         """
-        outs = {k: np.asarray(v) for k, v in outs.items()}
+        outs = {k: fetch_device_array(v) for k, v in outs.items()}
         for j, wroi in enumerate(batch_tiles):
             for name, arr in self.outputs.items():
                 pred = np.moveaxis(outs[name][j], -1, 0)  # channels-first

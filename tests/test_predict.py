@@ -355,3 +355,25 @@ def test_tile_rois_fresh_partition():
         )
         covered[sl] += 1
     assert covered.min() == 1 and covered.max() == 1
+
+
+def test_fetch_device_array_chunked_equals_serial(monkeypatch):
+    """Chunked-parallel drain fetch (BS_FETCH_STREAMS) must be
+    byte-identical to a serial fetch, including shapes too small to
+    split and the axis-selection path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bootstrapper_tpu.predict._pipeline import fetch_device_array
+
+    rng = np.random.default_rng(0)
+    for shape in [(1, 24, 67, 53, 3), (5,), (2, 2), (1, 1, 1)]:
+        v = jnp.asarray(
+            rng.integers(0, 255, shape, dtype=np.uint8)
+        )
+        assert np.array_equal(
+            fetch_device_array(v, streams=8), np.asarray(v)
+        )
+    monkeypatch.setenv("BS_FETCH_STREAMS", "4")
+    v = jnp.asarray(rng.integers(0, 255, (3, 40, 16), dtype=np.uint8))
+    assert np.array_equal(fetch_device_array(v), np.asarray(v))
