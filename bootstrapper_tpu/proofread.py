@@ -38,6 +38,7 @@ class ProofreadSession:
         raw: Array,
         affs: Optional[Array] = None,
         boundary_threshold: float = 0.5,
+        sam_checkpoint: Optional[str] = None,
     ):
         self.raw = raw
         self.affs = affs
@@ -46,6 +47,20 @@ class ProofreadSession:
         self.labels = np.zeros(vshape, np.uint64)
         self.next_id = 1
         self.omitted: set = set()
+        # real SAM when weights are available (reference
+        # ng_interactive_sam.py:85-474 behaviour; models/sam.py is the
+        # weights-ready JAX port); else the affinity-prompted analog
+        import os
+
+        self._sam = None
+        self._sam_section = None
+        ckpt = sam_checkpoint or os.environ.get("BS_SAM_CHECKPOINT")
+        if ckpt and os.path.exists(ckpt):
+            from .models.sam import SamPredictor, load_sam
+
+            params, cfg = load_sam(ckpt)
+            self._sam = SamPredictor(params, cfg)
+            logger.info("SAM checkpoint loaded from %s", ckpt)
 
     # -- prompting ---------------------------------------------------------
 
@@ -78,10 +93,15 @@ class ProofreadSession:
 
         The prompt seeds a watershed on the boundary landscape within a
         local window (``radius`` voxels in y/x); growth stops at
-        boundaries (mean affinity < threshold).
+        boundaries (mean affinity < threshold).  With a SAM checkpoint
+        loaded (``BS_SAM_CHECKPOINT``), the prompt instead runs the
+        real SAM mask-from-point on the section, like the reference
+        tool.
         """
         vs = self.raw.voxel_size
         p_vox = (Coordinate(point) - self.raw.offset) / vs
+        if self._sam is not None:
+            return self._sam_segment_from_point(p_vox)
         z_r = 0 if two_d else radius // 8
         lo = Coordinate(
             max(0, p_vox[0] - z_r),
@@ -112,6 +132,33 @@ class ProofreadSession:
         target = self.labels[sl]
         target[region & (target == 0)] = self.next_id
         self.labels[sl] = target
+        seg_id = self.next_id
+        self.next_id += 1
+        return seg_id
+
+    def _sam_segment_from_point(self, p_vox) -> int:
+        """Real SAM mask-from-point on the prompted z section (the
+        reference flow: embed the section once, then every click is a
+        decoder-only prompt).  Picks the highest-IOU mask."""
+        z = int(p_vox[0])
+        if self._sam_section != z:
+            section = self.raw.to_ndarray(
+                Roi(
+                    self.raw.offset
+                    + Coordinate((z, 0, 0)) * self.raw.voxel_size,
+                    Coordinate((1, *self.raw.spatial_shape[1:]))
+                    * self.raw.voxel_size,
+                )
+            )[0]
+            self._sam.set_image(np.asarray(section))
+            self._sam_section = z
+        masks, iou = self._sam.predict(
+            [[int(p_vox[2]), int(p_vox[1])]], [1]  # (x, y)
+        )
+        best = masks[int(np.argmax(iou))]
+        target = self.labels[z]
+        target[best & (target == 0)] = self.next_id
+        self.labels[z] = target
         seg_id = self.next_id
         self.next_id += 1
         return seg_id
