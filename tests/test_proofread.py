@@ -131,3 +131,45 @@ class TestProofreadUI:
         from bootstrapper_tpu.proofread_ui import start_position
 
         assert start_position((10, 20, 31)) == [5, 10, 15]
+
+
+def test_cli_proofread_scripted_session(tmp_path):
+    """`bs proofread --script` drives a full session through the CLI:
+    prompt, merge, filter, write — the terminal-native counterpart of
+    the reference's interactive tool."""
+    from click.testing import CliRunner
+
+    from bootstrapper_tpu.cli.main import cli
+    from bootstrapper_tpu.core.arrays import open_ds, prepare_ds
+
+    raw = prepare_ds(
+        str(tmp_path / "v.zarr/raw"), (4, 32, 32), (0, 0, 0),
+        (40, 4, 4), np.uint8,
+    )
+    rng = np.random.default_rng(0)
+    img = np.full((4, 32, 32), 200, np.uint8)
+    img[:, 16, :] = 10  # a dark boundary splitting y
+    raw[raw.roi] = img
+
+    script = tmp_path / "cmds.txt"
+    script.write_text(
+        "point 40 32 64\n"
+        "point 40 96 64\n"
+        "merge 1 2\n"
+        "filter 1\n"
+        f"write {tmp_path}/out.zarr\n"
+        "quit\n"
+    )
+    res = CliRunner().invoke(
+        cli,
+        ["proofread", str(tmp_path / "v.zarr/raw"),
+         "--script", str(script)],
+        catch_exceptions=False,
+    )
+    assert res.exit_code == 0, res.output
+    assert "segment 1" in res.output and "segment 2" in res.output
+    assert "merged into 1" in res.output
+    labels = open_ds(str(tmp_path / "out.zarr/proofread/labels"))
+    arr = labels.to_ndarray()
+    assert (arr == 1).any()
+    assert (arr == 2).sum() == 0  # merged away
