@@ -20,6 +20,12 @@ patches -> 64x64 tokens, prompt/decoder width 256, 4 mask tokens,
 low-res masks 256x256.  Import-schema parity is pinned by
 ``tests/test_sam.py`` against a synthetic state dict with the official
 key names.
+
+Scope: point prompts + the automatic no-mask dense embedding — the
+prompt surface the reference tool actually uses (clicked points).
+Box-corner embeddings (``point_embeddings.{2,3}``) are imported but
+unused, and the ``mask_downscaling`` mask-prompt tower is neither
+imported nor wired into :func:`prompt_encoder_apply`.
 """
 
 from __future__ import annotations
