@@ -354,7 +354,13 @@ def train(config_file, max_iterations, batch_size, save_checkpoints_every,
             "(relay-client RSS cap) — re-executing to reclaim memory "
             "and resume", "train",
         )
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        if sys.argv[0].endswith("__main__.py"):
+            # `python -m bootstrapper_tpu ...`: the module file can't
+            # be re-run as a plain script (relative imports)
+            argv = [sys.executable, "-m", "bootstrapper_tpu"] + sys.argv[1:]
+        else:
+            argv = [sys.executable] + sys.argv
+        os.execv(sys.executable, argv)
     cli_echo(f"done: {result}", "train")
 
 
