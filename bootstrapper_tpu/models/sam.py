@@ -21,11 +21,9 @@ low-res masks 256x256.  Import-schema parity is pinned by
 ``tests/test_sam.py`` against a synthetic state dict with the official
 key names.
 
-Scope: point prompts + the automatic no-mask dense embedding — the
-prompt surface the reference tool actually uses (clicked points).
-Box-corner embeddings (``point_embeddings.{2,3}``) are imported but
-unused, and the ``mask_downscaling`` mask-prompt tower is neither
-imported nor wired into :func:`prompt_encoder_apply`.
+Scope: point and box prompts + the automatic no-mask dense embedding —
+the prompt surface the reference tool uses.  The ``mask_downscaling``
+mask-prompt tower is not imported or wired.
 """
 
 from __future__ import annotations
@@ -224,27 +222,44 @@ def image_pe(params, grid: int):
     return _pe_encode(g, coords)
 
 
-def prompt_encoder_apply(params, points, labels, cfg: SamConfig):
-    """Point prompts -> (sparse [B, N+1, 256], dense [B, 64, 64, 256]).
+def prompt_encoder_apply(params, points, labels, cfg: SamConfig, box=None):
+    """Prompts -> (sparse [B, N(+1|+2), 256], dense [B, 64, 64, 256]).
 
     ``points``: [B, N, 2] pixel (x, y) in input-image coordinates;
-    ``labels``: [B, N] with 1=foreground, 0=background.  A padding
-    point (official behaviour when no box is given) is appended."""
+    ``labels``: [B, N] with 1=foreground, 0=background.  ``box``:
+    optional [B, 4] (x0, y0, x1, y1) — encoded as the two corner
+    embeddings (``point_embeddings.{2,3}``).  Matching the official
+    encoder, a padding point is appended only when no box is given."""
     p = params["prompt_encoder"]
     B, N = points.shape[:2]
     pts = (points + 0.5) / cfg.img_size
-    pts = jnp.concatenate([pts, jnp.zeros((B, 1, 2))], axis=1)
-    lab = jnp.concatenate(
-        [labels, -jnp.ones((B, 1), labels.dtype)], axis=1
-    )
+    if box is None:
+        pts = jnp.concatenate([pts, jnp.zeros((B, 1, 2))], axis=1)
+        lab = jnp.concatenate(
+            [labels, -jnp.ones((B, 1), labels.dtype)], axis=1
+        )
+    else:
+        corners = (
+            jnp.asarray(box, jnp.float32).reshape(B, 2, 2) + 0.5
+        ) / cfg.img_size
+        pts = jnp.concatenate([pts, corners], axis=1)
+        lab = jnp.concatenate(
+            [
+                labels,
+                jnp.full((B, 1), 2, labels.dtype),
+                jnp.full((B, 1), 3, labels.dtype),
+            ],
+            axis=1,
+        )
     emb = _pe_encode(p["pe_gauss"], pts)
     emb = jnp.where((lab == -1)[..., None], 0.0, emb)
+    point_table = jnp.stack(
+        [p["point_embed"][i] for i in range(4)]
+    )  # [4, 256]: bg, fg, box corner 1, box corner 2
     emb = emb + jnp.where(
-        (lab == -1)[..., None], p["not_a_point"][None, None],
-        jnp.where(
-            (lab == 1)[..., None], p["point_embed"][1][None, None],
-            p["point_embed"][0][None, None],
-        ),
+        (lab == -1)[..., None],
+        p["not_a_point"][None, None],
+        point_table[jnp.clip(lab, 0, 3)],
     )
     grid = cfg.img_size // cfg.patch_size
     dense = jnp.broadcast_to(
@@ -598,15 +613,20 @@ class SamPredictor:
         self._embedding = self._encode(self.params, img[None])
         return self
 
-    def predict(self, points, labels):
+    def predict(self, points, labels, box=None):
         """points: [N, 2] (x, y) in ORIGINAL image pixels; labels [N]
-        (1 fg / 0 bg) -> (masks [n_masks, H, W] bool, iou [n_masks])."""
+        (1 fg / 0 bg); box: optional (x0, y0, x1, y1) in original
+        pixels -> (masks [n_masks, H, W] bool, iou [n_masks])."""
         if self._embedding is None:
             raise RuntimeError("call set_image first")
         cfg = self.cfg
         pts = jnp.asarray(points, jnp.float32)[None] * self._scale
         lab = jnp.asarray(labels, jnp.int32)[None]
-        sparse, dense = prompt_encoder_apply(self.params, pts, lab, cfg)
+        if box is not None:
+            box = jnp.asarray(box, jnp.float32)[None] * self._scale
+        sparse, dense = prompt_encoder_apply(
+            self.params, pts, lab, cfg, box=box
+        )
         pe = image_pe(self.params, cfg.img_size // cfg.patch_size)
         masks, iou = mask_decoder_apply(
             self.params, self._embedding, pe, sparse, dense, cfg

@@ -152,6 +152,12 @@ def test_import_and_end_to_end_predict():
     # to identical boolean masks)
     _, i3 = pred.predict([[35, 40]], [1])
     assert np.abs(iou - i3).max() > 1e-4
+    # box prompts: corner embeddings replace the padding point and
+    # change the outputs
+    m4, i4 = pred.predict([[20, 10]], [1], box=(5, 5, 35, 40))
+    assert m4.shape == masks.shape
+    _, i5 = pred.predict([[20, 10]], [1])
+    assert np.abs(i4 - i5).max() > 1e-4
 
 
 def test_conv_transpose_matches_torch():
