@@ -222,3 +222,60 @@ def test_prediction_config_filters_chain_inputs_to_declared(tmp_path):
     cfgs = create_prediction_configs(volumes, setup_dirs, [5, 5])
     link = cfgs["v"]["chain"][1]
     assert link["input_datasets"] == ["c.zarr/2d_mtlsd/5/2d_affs"]
+
+
+def test_chain_refiner_zstreams_deep_volume(tmp_path, monkeypatch):
+    """On a deep volume the chained REFINER stage z-streams with its
+    two chained input datasets (6-ch lsds + 6-ch affs read per step)
+    and matches the tiled chain output up to bf16 cross-executable
+    noise — the multi-input streaming path the CREMI-scale round runs
+    in production."""
+    vs = (1, 1, 1)
+    shape = (40, 40, 40)  # deep vs the tiny refiner's 4-slice z out
+    outputs = {}
+    for mode in ("1", "0"):  # z-stream on / tiled
+        monkeypatch.setenv("BS_ZSTREAM", mode)
+        container = str(tmp_path / f"v{mode}.zarr")
+        raw = prepare_ds(
+            f"{container}/raw", shape, (0, 0, 0), vs, np.uint8
+        )
+        raw[raw.roi] = np.random.default_rng(0).integers(
+            0, 255, shape, dtype=np.uint8
+        )
+        setup_dirs = setup_models(
+            ["2d_mtlsd", "3d_affs_from_2d_mtlsd"],
+            str(tmp_path / f"setups{mode}"),
+        )
+        _shrink(setup_dirs[0], TINY_2D)
+        _shrink(setup_dirs[1], TINY_FROM)
+        for d in setup_dirs:
+            model = Model.from_setup(d)
+            model.validate_shapes()
+            state, tx = create_train_state(model, jax.random.PRNGKey(0))
+            save_checkpoint(d, state, 5)
+        volumes = {
+            "v": {
+                "raw_dataset": f"{container}/raw",
+                "voxel_size": list(vs),
+                "output_container": container,
+            }
+        }
+        cfgs = create_prediction_configs(volumes, setup_dirs, [5, 5])
+        cfg_path = str(tmp_path / f"predict{mode}.toml")
+        tomlio.dump({"predict": cfgs}, cfg_path)
+        results = run_prediction(cfg_path)
+        refiner_stats = results[
+            "v/3d_affs_from_2d_mtlsd/5--from--2d_mtlsd_5"
+        ]
+        if mode == "1":
+            assert "columns" in refiner_stats  # streamed
+        else:
+            assert "columns" not in refiner_stats  # tiled
+        outputs[mode] = open_ds(
+            f"{container}/3d_affs_from_2d_mtlsd/5--from--2d_mtlsd_5"
+            "/3d_affs"
+        ).to_ndarray().astype(np.int16)
+    monkeypatch.delenv("BS_ZSTREAM")
+    diff = np.abs(outputs["1"] - outputs["0"])
+    assert diff.max() <= 20  # bf16 cross-executable noise only
+    assert diff.mean() < 1.0
