@@ -215,7 +215,9 @@ def run_training(config_file: str, **overrides) -> dict:
     # caller resume in a fresh process (auto-resume picks up the
     # checkpoint; `bs train` re-execs itself automatically).
     max_rss_gb = float(os.environ.get("BS_MAX_RSS_GB", "64"))
-    rss_check_every = int(os.environ.get("BS_RSS_CHECK_EVERY", "100"))
+    rss_check_every = max(
+        1, int(os.environ.get("BS_RSS_CHECK_EVERY", "100"))
+    )
     rss_hit = False
 
     t0 = time.perf_counter()
