@@ -60,6 +60,10 @@ def conv3d_supported(x_shape, w_shape) -> bool:
     # (and anything whose weights blow the VMEM budget) to XLA
     if ci < 128 or kd * kh * kw * ci * co * 2 > 6 * 2**20:
         return False
+    # the DMA window carries only 8 zero tail rows, so dx taps beyond 8
+    # (kw > 9) would read past the copied window (see _conv3d_kernel)
+    if kw > 9:
+        return False
     d, h, w = x_shape[1:4]
     return d >= kd and h >= kh and w >= kw
 
@@ -142,6 +146,12 @@ def pallas_conv3d(
     _, d, h, ww, cx = x.shape
     if cx != ci:
         raise ValueError(f"channel mismatch: x {cx} vs w {ci}")
+    if kw > 9:
+        raise ValueError(
+            f"kw={kw} > 9: the window DMA pads only 8 tail rows, wider "
+            "kernels would read out-of-window data (conv3d_supported "
+            "rejects these shapes)"
+        )
     d_out = d - kd + 1
     h_out_real, w_out_real = h - kh + 1, ww - kw + 1
     # alignment padding (see module docstring): W -> 8k, H -> so that

@@ -64,10 +64,15 @@ def fetch_device_array(v, streams: int = None) -> np.ndarray:
     parts: list = [None] * streams
     sl = [slice(None)] * len(shape)
 
+    errors: list = [None] * streams
+
     def work(i):
-        s = list(sl)
-        s[ax] = slice(bounds[i], bounds[i + 1])
-        parts[i] = np.asarray(v[tuple(s)])
+        try:
+            s = list(sl)
+            s[ax] = slice(bounds[i], bounds[i + 1])
+            parts[i] = np.asarray(v[tuple(s)])
+        except BaseException as e:  # surfaced after join, not swallowed
+            errors[i] = e
 
     threads = [
         threading.Thread(target=work, args=(i,)) for i in range(streams)
@@ -76,6 +81,9 @@ def fetch_device_array(v, streams: int = None) -> np.ndarray:
         t.start()
     for t in threads:
         t.join()
+    for e in errors:
+        if e is not None:
+            raise e
     return np.concatenate(parts, axis=ax)
 
 

@@ -155,7 +155,11 @@ class ProofreadSession:
         masks, iou = self._sam.predict(
             [[int(p_vox[2]), int(p_vox[1])]], [1]  # (x, y)
         )
-        best = masks[int(np.argmax(iou))]
+        # official multimask_output=True flow: select among the three
+        # multimask outputs only — token 0 (single-mask) has a
+        # differently-calibrated IOU head and must not compete
+        # (reference ng_interactive_sam.py point-prompt path)
+        best = masks[1:][int(np.argmax(iou[1:]))]
         target = self.labels[z]
         target[best & (target == 0)] = self.next_id
         self.labels[z] = target

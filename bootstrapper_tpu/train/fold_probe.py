@@ -189,6 +189,23 @@ def folded_train_compiles(
         except OSError:
             pass
     ok = "FOLD_PROBE_OK" in proc.stdout
+    # Cache False only for CRASH-like outcomes (signal death rc<0, or
+    # the XLA space-to-batch CHECK failure the probe exists to detect).
+    # A transient failure — relay hiccup, import error, flaky env —
+    # must not pin this config to the slower unfolded path forever.
+    err = (proc.stderr or "") + (proc.stdout or "")
+    crash_like = proc.returncode < 0 or "CHECK failed" in err or (
+        "Check failed" in err
+    )
+    if not ok and not crash_like:
+        tail = err.strip().splitlines()
+        logger.warning(
+            "fold probe failed non-crash (rc=%d): %s — training "
+            "unfolded this run (verdict NOT cached; transient "
+            "failures shouldn't poison it)",
+            proc.returncode, tail[-1][:200] if tail else "no output",
+        )
+        return False
     cache = _load_cache()  # re-read: concurrent probes may have added
     cache[key] = {
         "ok": ok,
@@ -196,7 +213,7 @@ def folded_train_compiles(
         "rc": proc.returncode,
     }
     if not ok:
-        tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        tail = err.strip().splitlines()
         cache[key]["why"] = tail[-1][:200] if tail else "no output"
         logger.info(
             "folded train step does NOT compile here (rc=%d): %s — "

@@ -107,6 +107,10 @@ def run_training(config_file: str, **overrides) -> dict:
             model.net_config, int(batch_size)
         )
         if fold:
+            # force it explicitly: a stored net_config may carry
+            # "fold_xy": false, which would silently override the
+            # probe's verdict via Model's default resolution
+            model = Model({**model.net_config, "fold_xy": True})
             logger.info(
                 "fold probe passed: training folded (batch %d; "
                 "disable with fold_xy = false)", batch_size,
