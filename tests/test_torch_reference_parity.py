@@ -1,0 +1,198 @@
+"""Numerical parity against the ACTUAL reference torch modules.
+
+Imports the reference's own ``unet.py``/``model.py`` source
+(``/root/reference/bootstrapper/models/{setup}/``), builds the real
+``torch.nn`` model, exports its real ``state_dict()`` through our
+``convert_torch`` importer, and asserts forward-pass equality with the
+JAX model on fixed weights (fp32, CPU).  This replaces the earlier
+self-referential fake (``test_convert_torch._fake_reference_state``)
+as the proof that reference checkpoints import correctly: the key
+layout, the residual conv-pass topology, the trilinear/bilinear
+constant upsampling (reference ``unet.py:398-403``), the
+crop-to-factor geometry, and the sigmoid heads are all checked
+against the reference implementation itself, not our model of it.
+
+The only reference import obstacle is ``funlib.learn.torch`` (absent
+in this image); its ``Conv4d`` is used solely for 4D kernels, which no
+shipped setup has, so a raising stub is faithful.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from bootstrapper_tpu.models import Model
+from bootstrapper_tpu.models.convert_torch import (
+    load_torch_state_dict,
+    torch_to_params,
+)
+
+REF_MODELS = "/root/reference/bootstrapper/models"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_MODELS),
+    reason="reference checkout not present",
+)
+
+
+def _stub_funlib():
+    if "funlib.learn.torch.models.conv4d" in sys.modules:
+        return
+    for name in (
+        "funlib", "funlib.learn", "funlib.learn.torch",
+        "funlib.learn.torch.models",
+    ):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    c4 = types.ModuleType("funlib.learn.torch.models.conv4d")
+
+    class Conv4d:  # pragma: no cover - only reachable for 4D kernels
+        def __init__(self, *a, **k):
+            raise NotImplementedError("Conv4d stub: no 4D setups")
+
+    c4.Conv4d = Conv4d
+    sys.modules["funlib.learn.torch.models.conv4d"] = c4
+
+
+def load_reference(setup):
+    """Import the reference setup's real ``model.py`` (and its
+    ``unet.py``) from the read-only checkout."""
+    _stub_funlib()
+    d = os.path.join(REF_MODELS, setup)
+    spec_u = importlib.util.spec_from_file_location(
+        "unet", os.path.join(d, "unet.py")
+    )
+    unet_mod = importlib.util.module_from_spec(spec_u)
+    prev = sys.modules.get("unet")
+    sys.modules["unet"] = unet_mod  # model.py does `from unet import ...`
+    try:
+        spec_u.loader.exec_module(unet_mod)
+        spec_m = importlib.util.spec_from_file_location(
+            f"ref_model_{setup}", os.path.join(d, "model.py")
+        )
+        mod = importlib.util.module_from_spec(spec_m)
+        spec_m.loader.exec_module(mod)
+    finally:
+        if prev is not None:
+            sys.modules["unet"] = prev
+        else:
+            sys.modules.pop("unet", None)
+    return mod
+
+
+def _our_net_config(setup, **overrides):
+    """The reference setup's own net_config.json, as OUR Model config
+    (so both sides are built from the identical hyperparameters)."""
+    with open(os.path.join(REF_MODELS, setup, "net_config.json")) as f:
+        nc = json.load(f)
+    nc.update(overrides)
+    return nc
+
+
+def _state_to_numpy(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _assert_outputs_match(ours, theirs, spatial_dims, atol):
+    # ours: (N, *spatial, C) fp32; theirs: torch (N, C, *spatial)
+    got = np.moveaxis(np.asarray(ours), -1, 1)
+    ref = theirs.detach().numpy()
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=atol)
+
+
+def test_upsample_matches_torch_trilinear():
+    """Pin the op-level equivalence the decoder relies on: jax linear
+    resize == torch Upsample(mode='trilinear', align_corners=False)
+    (the reference's constant_upsample, ``unet.py:398-403``)."""
+    from bootstrapper_tpu.models.unet import upsample_resize
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 5, 7, 6, 3)).astype(np.float32)
+    up = torch.nn.Upsample(scale_factor=(1, 2, 2), mode="trilinear")
+    ref = up(torch.tensor(np.moveaxis(x, -1, 1))).numpy()
+    got = upsample_resize(jnp.asarray(x), (1, 2, 2))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(got), -1, 1), ref, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_reference_3d_affs_forward_parity(tmp_path):
+    """Full-pipeline proof on the flagship import target: the actual
+    reference 3d_affs Model (``models/3d_affs/model.py:40-63``) vs our
+    JAX model, real state_dict -> convert_torch -> equal outputs."""
+    mod = load_reference("3d_affs")
+    torch.manual_seed(0)
+    # the reference head sizes itself from outputs[...]["dims"]; drop
+    # the neighborhood so our head_dims() resolves identically
+    outputs = {"3d_affs": {"dtype": "uint8", "dims": 6}}
+    tmodel = mod.Model(outputs=outputs).eval()
+
+    nc = _our_net_config("3d_affs", outputs=outputs)
+    ours = Model(nc, compute_dtype=jnp.float32)
+    ours.validate_shapes()
+
+    # real checkpoint file -> real loader -> importer
+    path = str(tmp_path / "model_checkpoint_5000")
+    torch.save(tmodel.state_dict(), path)
+    params = torch_to_params(load_torch_state_dict(path), ours)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 32, 196, 196, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(np.moveaxis(x, -1, 1)))
+    got = ours.apply(params, jnp.asarray(x))["3d_affs"]
+    _assert_outputs_match(got, ref, 3, atol=2e-5)
+
+
+def test_reference_3d_affs_parity_unfolded(tmp_path):
+    """Same check with the xy-fold rewrite disabled: isolates the
+    plain decode path (a fold bug and a conv bug would otherwise be
+    indistinguishable)."""
+    mod = load_reference("3d_affs")
+    torch.manual_seed(2)
+    outputs = {"3d_affs": {"dtype": "uint8", "dims": 6}}
+    tmodel = mod.Model(num_fmaps=6, fmap_inc_factor=3,
+                       outputs=outputs).eval()
+    nc = _our_net_config(
+        "3d_affs", num_fmaps=6, fmap_inc_factor=3, outputs=outputs,
+        fold_xy=False,
+    )
+    ours = Model(nc, compute_dtype=jnp.float32)
+    params = torch_to_params(_state_to_numpy(tmodel), ours)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, (1, 32, 196, 196, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(np.moveaxis(x, -1, 1)))
+    got = ours.apply(params, jnp.asarray(x))["3d_affs"]
+    _assert_outputs_match(got, ref, 3, atol=2e-5)
+
+
+def test_reference_2d_mtlsd_forward_parity():
+    """2D setup: bilinear constant upsample, adj_slices channel fold,
+    and TWO sigmoid heads (``models/2d_mtlsd/model.py:44-61``)."""
+    mod = load_reference("2d_mtlsd")
+    torch.manual_seed(4)
+    tmodel = mod.Model(num_fmaps=6, fmap_inc_factor=3).eval()
+    nc = _our_net_config("2d_mtlsd", num_fmaps=6, fmap_inc_factor=3)
+    ours = Model(nc, compute_dtype=jnp.float32)
+    ours.validate_shapes()
+    params = torch_to_params(_state_to_numpy(tmodel), ours)
+
+    rng = np.random.default_rng(5)
+    # 3 adjacent sections, channels-last for us / channel dim for torch
+    x = rng.uniform(0, 1, (1, 196, 196, 3)).astype(np.float32)
+    with torch.no_grad():
+        lsds, affs = tmodel(torch.tensor(np.moveaxis(x, -1, 1)))
+    out = ours.apply(params, jnp.asarray(x))
+    _assert_outputs_match(out["2d_lsds"], lsds, 2, atol=2e-5)
+    _assert_outputs_match(out["2d_affs"], affs, 2, atol=2e-5)
