@@ -82,7 +82,13 @@ def _ln(p, x, eps=1e-6):
     return (x - mu) / jnp.sqrt(var + eps) * p["w"] + p["b"]
 
 
-def _mlp_block(p, x, act=jax.nn.gelu):
+def _gelu(x):
+    # torch nn.GELU defaults to the exact erf form; jax.nn.gelu
+    # defaults to the tanh approximation — use exact for parity
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _mlp_block(p, x, act=_gelu):
     # encoder MLPBlocks use GELU; the decoder's TwoWayTransformer
     # constructs its MLPBlocks with ReLU (official transformer.py)
     return _linear(p["lin2"], act(_linear(p["lin1"], x)))
@@ -94,8 +100,11 @@ def _get_rel_pos(q_size: int, k_size: int, rel_pos):
     length differs."""
     max_rel = 2 * max(q_size, k_size) - 1
     n, dim = rel_pos.shape
-    if n != max_rel:  # interpolate the table to the needed length
-        pos = jnp.linspace(0, n - 1, max_rel)
+    if n != max_rel:  # interpolate the table to the needed length;
+        # half-pixel sampling to match torch F.interpolate(mode=
+        # "linear", align_corners=False) in the official get_rel_pos
+        pos = (jnp.arange(max_rel) + 0.5) * (n / max_rel) - 0.5
+        pos = jnp.clip(pos, 0, n - 1)
         lo = jnp.clip(jnp.floor(pos).astype(int), 0, n - 1)
         hi = jnp.clip(lo + 1, 0, n - 1)
         t = (pos - lo)[:, None]
@@ -294,26 +303,37 @@ def _attn_qkv(p, q, k, v, heads: int):
     return _linear(p["out"], out)
 
 
+#: the decoder transformer's LayerNorms are plain ``nn.LayerNorm``
+#: (torch default eps 1e-5), unlike the encoder's eps=1e-6 norms
+_DEC_EPS = 1e-5
+
+
 def _two_way_layer(p, queries, keys, query_pe, key_pe, heads, first):
     q = queries if first else queries + query_pe
     queries = _ln(
         p["norm1"],
         queries + _attn_qkv(p["self_attn"], q, q, queries, heads),
+        eps=_DEC_EPS,
     ) if not first else _ln(
-        p["norm1"], _attn_qkv(p["self_attn"], queries, queries, queries, heads)
+        p["norm1"],
+        _attn_qkv(p["self_attn"], queries, queries, queries, heads),
+        eps=_DEC_EPS,
     )
     q, k = queries + query_pe, keys + key_pe
     queries = _ln(
         p["norm2"],
         queries + _attn_qkv(p["cross_t2i"], q, k, keys, heads),
+        eps=_DEC_EPS,
     )
     queries = _ln(
         p["norm3"],
         queries + _mlp_block(p["mlp"], queries, act=jax.nn.relu),
+        eps=_DEC_EPS,
     )
     q, k = queries + query_pe, keys + key_pe
     keys = _ln(
-        p["norm4"], keys + _attn_qkv(p["cross_i2t"], k, q, queries, heads)
+        p["norm4"], keys + _attn_qkv(p["cross_i2t"], k, q, queries, heads),
+        eps=_DEC_EPS,
     )
     return queries, keys
 
@@ -350,6 +370,7 @@ def mask_decoder_apply(params, image_emb, img_pe, sparse, dense, cfg):
     queries = _ln(
         p["norm_final"],
         queries + _attn_qkv(p["final_t2i"], q, k, keys, cfg.decoder_heads),
+        eps=_DEC_EPS,
     )
     iou_tok = queries[:, 0]
     mask_toks = queries[:, 1 : 1 + cfg.num_mask_tokens]
@@ -362,12 +383,12 @@ def mask_decoder_apply(params, image_emb, img_pe, sparse, dense, cfg):
         x, p["up0"]["w"], (2, 2), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
     ) + p["up0"]["b"]
-    x = jax.nn.gelu(_ln(p["up1"], x))
+    x = _gelu(_ln(p["up1"], x))
     x = jax.lax.conv_transpose(
         x, p["up2"]["w"], (2, 2), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
     ) + p["up2"]["b"]
-    up = jax.nn.gelu(x)  # [B, 4g, 4g, 32]
+    up = _gelu(x)  # [B, 4g, 4g, 32]
 
     hyper = jnp.stack(
         [
