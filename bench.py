@@ -203,6 +203,56 @@ def _measure_stream(model, n_steady=16):
     return total_vox / dt, tile, step_z
 
 
+def _measure_link(size_mb: int = 32, lat_iters: int = 5) -> dict:
+    """Measured relay-link rates: device->host MB/s, host->device MB/s,
+    and the fixed per-dispatch latency.
+
+    End-to-end (transfer-bound) predict numbers on this rig carry ±2x
+    link noise (10-30 MB/s swings minute to minute, BASELINE.md
+    round-4); emitting the measured link rate next to every headline
+    makes any end-to-end claim interpretable after the fact. Device
+    throughput itself (the headline) is unaffected — it reads back one
+    scalar per tile.
+
+    Relay quirk guards: execution is forced via a scalar reduction
+    BEFORE the timed device->host fetch (block_until_ready alone lies
+    under the relay), and each timed fetch is of an array never
+    fetched before (the relay host-caches repeated fetches)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # fixed dispatch latency: distinct tiny computations, scalar fetch
+    base = jnp.zeros((8, 128), jnp.float32)
+    float((base + 0).sum())  # warm the dispatch path
+    t0 = time.perf_counter()
+    for i in range(1, lat_iters + 1):
+        float((base + i).sum())
+    lat_ms = (time.perf_counter() - t0) / lat_iters * 1000
+
+    n = size_mb * 2**20
+    d = jax.random.randint(
+        jax.random.PRNGKey(2), (n,), 0, 255, jnp.uint8
+    )
+    float(d.sum())  # force execution; only the scalar crosses the link
+    t0 = time.perf_counter()
+    host = np.asarray(d)
+    d2h = size_mb / (time.perf_counter() - t0)
+    assert host.shape == (n,)
+
+    h2 = np.random.default_rng(3).integers(0, 255, n, dtype=np.uint8)
+    t0 = time.perf_counter()
+    dev = jax.device_put(h2)
+    float(dev.max())  # forces the upload (plus one scalar round trip)
+    h2d = size_mb / (time.perf_counter() - t0)
+    return {
+        "link_d2h_mb_per_s": round(d2h, 1),
+        "link_h2d_mb_per_s": round(h2d, 1),
+        "link_dispatch_ms": round(lat_ms, 1),
+        "link_probe_mb": size_mb,
+    }
+
+
 def _device_health_check(timeout_s: float = 180.0, attempts: int = 2):
     """Fail fast when the TPU relay is unreachable.
 
@@ -254,6 +304,14 @@ def main():
     from bootstrapper_tpu.models import Model
 
     model = Model.from_setup("3d_affs")
+
+    # one-shot link probe (~5-10 s): lands in every emitted line
+    try:
+        link = _measure_link()
+    except Exception as e:  # never let the probe cost the headline
+        print(f"# link probe failed: {e}", file=sys.stderr)
+        link = {}
+
     # Headline tile: valid convolutions make output values independent
     # of tile size, so bigger tiles amortise the fixed context (28 z /
     # 92 xy) over more output. (152,540,540)->(124,448,448) is the
@@ -275,6 +333,7 @@ def main():
         "tiled_vox_per_sec": round(vox, 1),
         "tile": tile,
         "dtype": "bfloat16",
+        **link,
     }
     if tflops is not None:
         result["tiled_tflops_per_sec"] = round(tflops, 1)
