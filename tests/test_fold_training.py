@@ -181,3 +181,52 @@ def test_fold_probe_disabled_by_env(tmp_path, monkeypatch):
     }}, toml)
     res = run_training(toml)
     assert np.isfinite(res["final_loss"])
+
+
+def test_stall_watchdog_fires_after_timeout(monkeypatch):
+    """A missing heartbeat past the timeout triggers the die action;
+    beats keep it quiet (unit-level: _die stubbed, nothing exits)."""
+    import time as _time
+
+    from bootstrapper_tpu.workflows.train import _StallWatchdog
+
+    w = _StallWatchdog(timeout_s=0.2, setup_dir="/tmp/x")
+    died = []
+    monkeypatch.setattr(w, "_die", lambda: died.append(True))
+    w._thread.start()
+    for _ in range(4):  # heartbeats hold it off
+        w.beat(1)
+        _time.sleep(0.1)
+    assert not died
+    _time.sleep(1.0)  # no beats: must fire
+    assert died
+    w.stop()
+
+
+def test_stall_watchdog_respawn_exhaustion(monkeypatch):
+    """After BS_STALL_MAX_RESPAWNS re-execs, the watchdog exits 113
+    instead of looping forever on a dead relay."""
+    from bootstrapper_tpu.workflows import train as T
+
+    w = T._StallWatchdog(timeout_s=1, setup_dir="/tmp/x")
+    calls = []
+    monkeypatch.setattr(T.os, "execv", lambda *a: calls.append("execv"))
+    monkeypatch.setattr(T.os, "_exit", lambda c: calls.append(c))
+    monkeypatch.setenv("BS_STALL_RESPAWN", "1")
+    monkeypatch.setenv("BS_STALL_MAX_RESPAWNS", "3")
+    monkeypatch.setenv("BS_STALL_RESPAWN_COUNT", "3")  # exhausted
+    w._die()
+    assert calls == [113]
+    monkeypatch.setenv("BS_STALL_RESPAWN_COUNT", "1")
+    w._die()
+    # the stubbed execv returns (the real one replaces the process),
+    # so the fall-through _exit also records — execv must have fired
+    assert calls[1] == "execv"
+    assert os.environ["BS_STALL_RESPAWN_COUNT"] == "2"
+
+
+def test_stall_watchdog_disabled_by_env(monkeypatch):
+    from bootstrapper_tpu.workflows.train import _StallWatchdog
+
+    monkeypatch.setenv("BS_STALL_TIMEOUT_S", "0")
+    assert _StallWatchdog.start_if_enabled("/tmp/x") is None

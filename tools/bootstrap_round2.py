@@ -97,8 +97,12 @@ def main():
     )
     emit({**result, "stage": "prepare"})
 
+    # checkpoint every 1000 iters: a wedged relay dispatch (stall
+    # watchdog, workflows/train.py) then costs <= 1000 iterations
     t0 = time.time()
-    res = run_training(paths[f"train_{args.model}"])
+    res = run_training(
+        paths[f"train_{args.model}"], save_checkpoints_every=1000
+    )
     timings["train_s"] = round(time.time() - t0, 1)
     loss = res["final_loss"]
     result["final_loss"] = None if loss is None else round(loss, 4)
