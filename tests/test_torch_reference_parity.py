@@ -196,3 +196,55 @@ def test_reference_2d_mtlsd_forward_parity():
     out = ours.apply(params, jnp.asarray(x))
     _assert_outputs_match(out["2d_lsds"], lsds, 2, atol=2e-5)
     _assert_outputs_match(out["2d_affs"], affs, 2, atol=2e-5)
+
+
+def test_reference_3d_mtlsd_forward_parity():
+    """3D two-headed setup: lsds_head (plural alias) + affs_head
+    (``models/3d_mtlsd/model.py:54-68``)."""
+    mod = load_reference("3d_mtlsd")
+    torch.manual_seed(6)
+    # the reference sizes heads from outputs[...]["dims"]; strip the
+    # (inconsistent, 9-entry) neighborhood so head_dims matches
+    outputs = {
+        "3d_lsds": {"dtype": "uint8", "dims": 10},
+        "3d_affs": {"dtype": "uint8", "dims": 6},
+    }
+    tmodel = mod.Model(num_fmaps=6, fmap_inc_factor=3,
+                       outputs=outputs).eval()
+    nc = _our_net_config(
+        "3d_mtlsd", num_fmaps=6, fmap_inc_factor=3, outputs=outputs
+    )
+    ours = Model(nc, compute_dtype=jnp.float32)
+    ours.validate_shapes()
+    params = torch_to_params(_state_to_numpy(tmodel), ours)
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 1, (1, 32, 196, 196, 1)).astype(np.float32)
+    with torch.no_grad():
+        lsds, affs = tmodel(torch.tensor(np.moveaxis(x, -1, 1)))
+    out = ours.apply(params, jnp.asarray(x))
+    _assert_outputs_match(out["3d_lsds"], lsds, 3, atol=2e-5)
+    _assert_outputs_match(out["3d_affs"], affs, 3, atol=2e-5)
+
+
+def test_reference_refiner_forward_parity():
+    """The production-chain refiner (3d_affs_from_2d_mtlsd): derived
+    in_channels from input dims, num_fmaps_out=18, two inputs
+    concatenated channel-wise (``model.py:28-68``)."""
+    mod = load_reference("3d_affs_from_2d_mtlsd")
+    torch.manual_seed(8)
+    tmodel = mod.AffsUNet().eval()
+    nc = _our_net_config("3d_affs_from_2d_mtlsd")
+    ours = Model(nc, compute_dtype=jnp.float32)
+    ours.validate_shapes()
+    params = torch_to_params(_state_to_numpy(tmodel), ours)
+    rng = np.random.default_rng(9)
+    lsds = rng.uniform(0, 1, (1, 24, 148, 148, 6)).astype(np.float32)
+    affs = rng.uniform(0, 1, (1, 24, 148, 148, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(
+            torch.tensor(np.moveaxis(lsds, -1, 1)),
+            torch.tensor(np.moveaxis(affs, -1, 1)),
+        )
+    x = np.concatenate([lsds, affs], axis=-1)
+    got = ours.apply(params, jnp.asarray(x))["3d_affs"]
+    _assert_outputs_match(got, ref, 3, atol=2e-5)
