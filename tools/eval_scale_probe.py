@@ -133,6 +133,8 @@ def main():
         "setup_s": setup_s,
     }
 
+    print("PARTIAL " + json.dumps(result), flush=True)
+
     t0 = time.time()
     out = evaluate_thresholds(
         fd, rag, thresholds, gt_skeletons=skel_path,
@@ -140,15 +142,15 @@ def main():
     )
     result["skeleton_sweep_s"] = round(time.time() - t0, 1)
     result["best_nerl"] = round(out["best_nerl"]["nerl"], 4)
+    print("PARTIAL " + json.dumps(result), flush=True)
 
     t0 = time.time()
     out = evaluate_thresholds(
         fd, rag, thresholds, gt_labels=gd, num_workers=args.workers,
     )
     result["voi_sweep_s"] = round(time.time() - t0, 1)
-    result["best_voi_sum"] = round(
-        out["best_voi"]["voi"]["voi_sum"], 4
-    )
+    result["best_voi_sum"] = round(out["best_voi"]["voi_sum"], 4)
+    print("PARTIAL " + json.dumps(result), flush=True)
 
     t0 = time.time()
     out = evaluate_thresholds(
