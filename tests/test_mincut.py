@@ -133,3 +133,42 @@ class TestComputeEdits:
         res = edits(node_frag, node_seg, comps, [1, 2], [10, 10],
                     [(1, 2, 0.9)], 0.5)
         assert res["splits_needed"] == 0
+
+
+def test_native_matches_nx_on_random_graphs():
+    """Dual pin: the C++ Dinic splitter and the networkx preflow-push
+    implementation agree on split counts and full seed separation
+    across random instances (distinct float capacities: no ties)."""
+    import networkx as nx
+    import numpy as np
+
+    from bootstrapper_tpu.eval.mincut import split_graph
+
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        n = int(rng.integers(6, 40))
+        g = nx.Graph()
+        g.add_nodes_from(range(n))
+        # random connected-ish graph with distinct capacities
+        for _ in range(int(n * 2.2)):
+            u, v = rng.integers(0, n, 2)
+            if u != v:
+                g.add_edge(int(u), int(v),
+                           weight=float(rng.uniform(0.01, 1.0)))
+        for i in range(n - 1):  # spanning chain keeps it connected
+            if not g.has_edge(i, i + 1):
+                g.add_edge(i, i + 1, weight=float(rng.uniform(0.01, 1.0)))
+        k = int(rng.integers(2, 4))
+        seeds = rng.choice(n, size=k, replace=False)
+        comps = [[int(s)] for s in seeds]
+
+        g_nx = g.copy()
+        n_nx = split_graph(g_nx, comps, impl="nx")
+        g_nat = g.copy()
+        n_nat = split_graph(g_nat, comps, impl="native")
+
+        assert n_nx == n_nat, (trial, n_nx, n_nat)
+        # the real invariant: every seed pair separated, both impls
+        for impl_g in (g_nx, g_nat):
+            labs = [impl_g.nodes[int(s)]["split"] for s in seeds]
+            assert len(set(labs)) == k, (trial, labs)
