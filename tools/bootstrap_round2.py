@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--model", default="3d_mtlsd")
+    ap.add_argument("--no-auto-tile", action="store_true",
+                    help="predict at the setup's default tile (the "
+                         "reference's own predict shape) instead of "
+                         "the auto-tiled/streamed graphs — the small "
+                         "graph compiles in minutes, the big dual-head "
+                         "stream graphs can take 40+ on a cold cache")
     ap.add_argument("--round1-voi", type=float, default=None,
                     help="round-1 best voi_sum (default: read the "
                          "round-1 eval results from the workspace)")
@@ -109,7 +115,7 @@ def main():
     emit({**result, "stage": "train"})
 
     t0 = time.time()
-    run_prediction(paths["predict"], auto_tile=True)
+    run_prediction(paths["predict"], auto_tile=not args.no_auto_tile)
     timings["predict_s"] = round(time.time() - t0, 1)
     emit({**result, "stage": "predict"})
 
