@@ -148,20 +148,48 @@ def run_pipelined(
 
     threading.Thread(target=_reader, daemon=True).start()
 
+    # Stall watchdog (utils/stall.py): a wedged relay dispatch/fetch
+    # blocks this loop in a C call forever at 0% CPU.  Two phases: the
+    # FIRST drain may sit behind a cold remote compile
+    # (BS_PREDICT_COMPILE_TIMEOUT_S, default 3600 s — 40+ min observed
+    # for large stream graphs); after that, steady tiles finish in
+    # seconds-to-minutes (BS_PREDICT_STALL_TIMEOUT_S, default 900 s).
+    # No respawn (a predict tool mid-run is not safely re-execable):
+    # exit 113 for the caller to restart.
+    watchdog = None
+    initial = float(
+        os.environ.get("BS_PREDICT_COMPILE_TIMEOUT_S", "3600")
+    )
+    steady = float(os.environ.get("BS_PREDICT_STALL_TIMEOUT_S", "900"))
+    if initial > 0 and steady > 0:
+        from ..utils.stall import StallWatchdog
+
+        watchdog = StallWatchdog(
+            initial, steady, label="predict", respawn=False
+        ).start()
+
     pending = None
-    while True:
-        got = q.get()
-        if got is None:
-            break
-        if isinstance(got, Exception):
-            raise got
-        item, host_arr = got
-        outs = dispatch(host_arr)
-        if pending is not None:
+    step = 0
+    try:
+        while True:
+            got = q.get()
+            if got is None:
+                break
+            if isinstance(got, Exception):
+                raise got
+            item, host_arr = got
+            outs = dispatch(host_arr)
+            if pending is not None:
+                drain(*pending)
+                step += 1
+                if watchdog is not None:
+                    watchdog.beat(step)
+            pending = (item, outs)
+        if pending is not None:  # final fetch is watchdog-covered too
             drain(*pending)
-        pending = (item, outs)
-    if pending is not None:
-        drain(*pending)
+    finally:
+        if watchdog is not None:
+            watchdog.stop()
 
 
 class TileWriter:

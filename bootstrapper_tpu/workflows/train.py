@@ -32,6 +32,7 @@ from ..train.loop import (
 )
 from ..train.sampler import Sample
 from ..utils import tomlio
+from ..utils.stall import StallWatchdog
 
 logger = logging.getLogger(__name__)
 
@@ -48,42 +49,21 @@ def _rss_gb() -> float:
     return 0.0
 
 
-class _StallWatchdog:
-    """Detect a wedged training loop and replace or kill the process.
-
-    The TPU relay client can wedge a dispatch forever (blocked in a C
-    call, 0% CPU) — e.g. when another process shares the relay at the
-    wrong moment (observed 2026-08-20; the relay stayed healthy for
-    fresh clients). The main thread cannot detect its own hang, so a
-    daemon thread watches an iteration heartbeat:
-
-    - no heartbeat for ``BS_STALL_TIMEOUT_S`` (default 900 s, covers a
-      1-6 min cold remote compile; 0 disables) -> log CRITICAL, then
-    - if ``BS_STALL_RESPAWN`` (default 1) and fewer than
-      ``BS_STALL_MAX_RESPAWNS`` (default 3) respawns so far: re-exec
-      this exact command (``os.execv`` from any thread replaces every
-      thread, including the wedged one); auto-resume continues from
-      the last checkpoint.
-    - otherwise ``os._exit(113)`` so an outer driver can restart.
-
-    Checkpointing from here is impossible by construction: saving
-    needs the wedged client.  Keep ``save_checkpoints_every`` small
-    enough that losing the tail is acceptable.
-    """
+class _StallWatchdog(StallWatchdog):
+    """Training-loop stall watchdog (see ``utils/stall.py`` for the
+    failure mode and the respawn/exit-113 contract).  Training opts
+    into respawn: ``bs train``/round tools auto-resume from the last
+    checkpoint, so replacing the process is safe and loses at most
+    ``save_checkpoints_every`` iterations."""
 
     EXIT_CODE = 113
 
     def __init__(self, timeout_s: float, setup_dir: str):
-        import threading
-
+        super().__init__(
+            timeout_s, timeout_s, label="training", respawn=True
+        )
         self.timeout_s = timeout_s
         self.setup_dir = setup_dir
-        self._last = time.monotonic()
-        self._it = None
-        self._stop = threading.Event()
-        self._thread = threading.Thread(
-            target=self._run, name="bs-stall-watchdog", daemon=True
-        )
 
     @classmethod
     def start_if_enabled(cls, setup_dir: str):
@@ -93,54 +73,6 @@ class _StallWatchdog:
         w = cls(timeout_s, setup_dir)
         w._thread.start()
         return w
-
-    def beat(self, it: int):
-        self._it = it
-        self._last = time.monotonic()
-
-    def stop(self):
-        self._stop.set()
-
-    # separated so tests can observe the decision without dying
-    def _die(self):
-        import sys
-
-        respawns = int(os.environ.get("BS_STALL_RESPAWN_COUNT", "0"))
-        max_respawns = int(os.environ.get("BS_STALL_MAX_RESPAWNS", "3"))
-        if (
-            os.environ.get("BS_STALL_RESPAWN", "1") == "1"
-            and respawns < max_respawns
-        ):
-            os.environ["BS_STALL_RESPAWN_COUNT"] = str(respawns + 1)
-            if sys.argv[0].endswith("__main__.py"):
-                argv = (
-                    [sys.executable, "-m", "bootstrapper_tpu"]
-                    + sys.argv[1:]
-                )
-            else:
-                argv = [sys.executable] + sys.argv
-            logger.critical(
-                "training stalled >%ds at iteration %s (wedged relay "
-                "dispatch?) — re-executing %r (respawn %d/%d); auto-"
-                "resume continues from the last checkpoint in %s",
-                self.timeout_s, self._it, argv, respawns + 1,
-                max_respawns, self.setup_dir,
-            )
-            os.execv(sys.executable, argv)
-        logger.critical(
-            "training stalled >%ds at iteration %s (wedged relay "
-            "dispatch?) — exiting %d for the caller to restart "
-            "(respawn disabled or %d/%d exhausted)",
-            self.timeout_s, self._it, self.EXIT_CODE, respawns,
-            max_respawns,
-        )
-        os._exit(self.EXIT_CODE)
-
-    def _run(self):
-        while not self._stop.wait(min(30.0, self.timeout_s / 4)):
-            if time.monotonic() - self._last > self.timeout_s:
-                self._die()
-                return  # only reachable when _die is stubbed in tests
 
 
 def setup_train(config_file: str, **overrides) -> dict:

@@ -206,12 +206,13 @@ def test_stall_watchdog_fires_after_timeout(monkeypatch):
 def test_stall_watchdog_respawn_exhaustion(monkeypatch):
     """After BS_STALL_MAX_RESPAWNS re-execs, the watchdog exits 113
     instead of looping forever on a dead relay."""
+    from bootstrapper_tpu.utils import stall as S
     from bootstrapper_tpu.workflows import train as T
 
     w = T._StallWatchdog(timeout_s=1, setup_dir="/tmp/x")
     calls = []
-    monkeypatch.setattr(T.os, "execv", lambda *a: calls.append("execv"))
-    monkeypatch.setattr(T.os, "_exit", lambda c: calls.append(c))
+    monkeypatch.setattr(S.os, "execv", lambda *a: calls.append("execv"))
+    monkeypatch.setattr(S.os, "_exit", lambda c: calls.append(c))
     monkeypatch.setenv("BS_STALL_RESPAWN", "1")
     monkeypatch.setenv("BS_STALL_MAX_RESPAWNS", "3")
     monkeypatch.setenv("BS_STALL_RESPAWN_COUNT", "3")  # exhausted

@@ -377,3 +377,50 @@ def test_fetch_device_array_chunked_equals_serial(monkeypatch):
     monkeypatch.setenv("BS_FETCH_STREAMS", "4")
     v = jnp.asarray(rng.integers(0, 255, (3, 40, 16), dtype=np.uint8))
     assert np.array_equal(fetch_device_array(v), np.asarray(v))
+
+
+def test_pipelined_stall_watchdog_fires(monkeypatch):
+    """A drain that wedges past the steady timeout triggers the
+    predict watchdog's die action (stubbed); fast pipelines don't."""
+    import time as _time
+
+    from bootstrapper_tpu.predict._pipeline import run_pipelined
+    from bootstrapper_tpu.utils.stall import StallWatchdog
+
+    died = []
+    monkeypatch.setattr(
+        StallWatchdog, "_die", lambda self: died.append(self.label)
+    )
+    monkeypatch.setenv("BS_PREDICT_COMPILE_TIMEOUT_S", "0.3")
+    monkeypatch.setenv("BS_PREDICT_STALL_TIMEOUT_S", "0.3")
+
+    # fast pipeline: no firing
+    run_pipelined(
+        [1, 2, 3], read=lambda i: i, dispatch=lambda a: a,
+        drain=lambda i, o: None,
+    )
+    assert not died
+
+    def slow_drain(i, o):
+        _time.sleep(1.2)
+
+    run_pipelined(
+        [1, 2], read=lambda i: i, dispatch=lambda a: a,
+        drain=slow_drain,
+    )
+    assert "predict" in died
+
+
+def test_pipelined_watchdog_disabled_by_env(monkeypatch):
+    from bootstrapper_tpu.predict._pipeline import run_pipelined
+    from bootstrapper_tpu.utils.stall import StallWatchdog
+
+    def boom(self):  # pragma: no cover
+        raise AssertionError("watchdog should be disabled")
+
+    monkeypatch.setattr(StallWatchdog, "start", boom)
+    monkeypatch.setenv("BS_PREDICT_COMPILE_TIMEOUT_S", "0")
+    run_pipelined(
+        [1], read=lambda i: i, dispatch=lambda a: a,
+        drain=lambda i, o: None,
+    )
