@@ -248,3 +248,61 @@ def test_reference_refiner_forward_parity():
     x = np.concatenate([lsds, affs], axis=-1)
     got = ours.apply(params, jnp.asarray(x))["3d_affs"]
     _assert_outputs_match(got, ref, 3, atol=2e-5)
+
+
+def test_reference_weighted_mse_loss_parity():
+    """Training loss vs the reference's WeightedMSELoss: masked mean
+    over weights>0, all-zero-weight edge case, and the dual-head sum
+    (``models/3d_affs/model.py:67-91``, ``2d_mtlsd/model.py:102-115``)."""
+    from bootstrapper_tpu.models.model import (
+        multi_output_loss,
+        weighted_mse_loss,
+    )
+
+    mod = load_reference("3d_affs")
+    ref_loss = mod.WeightedMSELoss()
+    rng = np.random.default_rng(10)
+    shape = (1, 6, 4, 8, 8)
+    pred = rng.uniform(0, 1, shape).astype(np.float32)
+    target = rng.uniform(0, 1, shape).astype(np.float32)
+    w = (rng.uniform(0, 1, shape) > 0.4).astype(np.float32) * rng.uniform(
+        0.5, 2.0, shape
+    ).astype(np.float32)
+
+    ref = ref_loss(
+        torch.tensor(pred), torch.tensor(target), torch.tensor(w)
+    ).item()
+    got = float(
+        weighted_mse_loss(
+            jnp.asarray(pred), jnp.asarray(target), jnp.asarray(w)
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    # all-zero weights: reference falls back to mean(scale) = 0
+    zero = np.zeros(shape, np.float32)
+    assert ref_loss(
+        torch.tensor(pred), torch.tensor(target), torch.tensor(zero)
+    ).item() == 0.0
+    assert float(
+        weighted_mse_loss(
+            jnp.asarray(pred), jnp.asarray(target), jnp.asarray(zero)
+        )
+    ) == 0.0
+
+    # dual-head sum (2d_mtlsd WeightedMSELoss sums per-head losses)
+    mod2 = load_reference("2d_mtlsd")
+    ref2 = mod2.WeightedMSELoss()
+    p2 = rng.uniform(0, 1, (1, 6, 16, 16)).astype(np.float32)
+    t2 = rng.uniform(0, 1, (1, 6, 16, 16)).astype(np.float32)
+    w2 = (rng.uniform(0, 1, (1, 6, 16, 16)) > 0.3).astype(np.float32)
+    ref_sum = ref2(
+        torch.tensor(p2), torch.tensor(t2), torch.tensor(w2),
+        torch.tensor(t2), torch.tensor(p2), torch.tensor(w2),
+    ).item()
+    got_sum = float(multi_output_loss(
+        {"a": jnp.asarray(p2), "b": jnp.asarray(t2)},
+        {"a": jnp.asarray(t2), "b": jnp.asarray(p2)},
+        {"a": jnp.asarray(w2), "b": jnp.asarray(w2)},
+    ))
+    np.testing.assert_allclose(got_sum, ref_sum, rtol=1e-5)
