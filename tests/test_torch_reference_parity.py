@@ -306,3 +306,38 @@ def test_reference_weighted_mse_loss_parity():
         {"a": jnp.asarray(w2), "b": jnp.asarray(w2)},
     ))
     np.testing.assert_allclose(got_sum, ref_sum, rtol=1e-5)
+
+
+def test_reference_3d_lsd_forward_parity():
+    """Single-lsds-head 3D setup: exercises the lsds_head alias branch
+    alone (``models/3d_lsd/model.py:54-63``)."""
+    mod = load_reference("3d_lsd")
+    torch.manual_seed(11)
+    tmodel = mod.Model(num_fmaps=6, fmap_inc_factor=3).eval()
+    nc = _our_net_config("3d_lsd", num_fmaps=6, fmap_inc_factor=3)
+    ours = Model(nc, compute_dtype=jnp.float32)
+    ours.validate_shapes()
+    params = torch_to_params(_state_to_numpy(tmodel), ours)
+    rng = np.random.default_rng(12)
+    x = rng.uniform(0, 1, (1, 32, 196, 196, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(np.moveaxis(x, -1, 1)))
+    got = ours.apply(params, jnp.asarray(x))["3d_lsds"]
+    _assert_outputs_match(got, ref, 3, atol=2e-5)
+
+
+def test_reference_2d_affs_forward_parity():
+    """Single-aff-head 2D setup (``models/2d_affs/model.py:56-70``)."""
+    mod = load_reference("2d_affs")
+    torch.manual_seed(13)
+    tmodel = mod.Model(num_fmaps=6, fmap_inc_factor=3).eval()
+    nc = _our_net_config("2d_affs", num_fmaps=6, fmap_inc_factor=3)
+    ours = Model(nc, compute_dtype=jnp.float32)
+    ours.validate_shapes()
+    params = torch_to_params(_state_to_numpy(tmodel), ours)
+    rng = np.random.default_rng(14)
+    x = rng.uniform(0, 1, (1, 196, 196, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.tensor(np.moveaxis(x, -1, 1)))
+    got = ours.apply(params, jnp.asarray(x))["2d_affs"]
+    _assert_outputs_match(got, ref, 2, atol=2e-5)
