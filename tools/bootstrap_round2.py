@@ -45,6 +45,15 @@ def main():
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--workers", type=int, default=2)
     ap.add_argument("--model", default="3d_mtlsd")
+    ap.add_argument("--round-name", default="round_2",
+                    help="round directory name (a retrain with new "
+                         "hyperparameters needs a fresh setup dir — "
+                         "auto-resume would skip a finished one)")
+    ap.add_argument("--batch-size", type=int, default=None,
+                    help="training batch (>=8 auto-enables the folded "
+                         "graph behind the compile probe; batch-1 at "
+                         "5000 iters measured far short of convergence "
+                         "for 3d_mtlsd — all-0.5 affs, voi_sum 9.1)")
     ap.add_argument("--no-auto-tile", action="store_true",
                     help="predict at the setup's default tile (the "
                          "reference's own predict shape) instead of "
@@ -94,7 +103,7 @@ def main():
     }
     t_total = time.time()
 
-    round_dir = os.path.join(ws, "round_2")
+    round_dir = os.path.join(ws, args.round_name)
     paths = make_round_configs(
         round_dir, volumes, [args.model],
         iterations=[args.iters], max_iterations=args.iters,
@@ -107,7 +116,8 @@ def main():
     # watchdog, workflows/train.py) then costs <= 1000 iterations
     t0 = time.time()
     res = run_training(
-        paths[f"train_{args.model}"], save_checkpoints_every=1000
+        paths[f"train_{args.model}"], save_checkpoints_every=1000,
+        batch_size=args.batch_size,
     )
     timings["train_s"] = round(time.time() - t0, 1)
     loss = res["final_loss"]
