@@ -44,7 +44,14 @@ def main():
     ap.add_argument("--workspace", default="/tmp/cremi_scale")
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--workers", type=int, default=2)
-    ap.add_argument("--model", default="3d_mtlsd")
+    ap.add_argument("--model", default="3d_mtlsd",
+                    help="model chain, comma-separated; '_from_' "
+                         "refiners use their shipped pretrained "
+                         "checkpoints, every other link is trained "
+                         "on the pseudo-GT (e.g. "
+                         "'2d_mtlsd,3d_affs_from_2d_mtlsd' is the "
+                         "reference's 2D-first iterative recipe on "
+                         "dense round-1 labels)")
     ap.add_argument("--round-name", default="round_2",
                     help="round directory name (a retrain with new "
                          "hyperparameters needs a fresh setup dir — "
@@ -94,6 +101,19 @@ def main():
             if sums:
                 r1_voi = round(min(sums), 3)
 
+    models = [m.strip() for m in args.model.split(",")]
+    iterations = []
+    for m in models:
+        if "_from_" in m:
+            refiner_dir = os.path.join(HERE, "pretrained", m)
+            iterations.append(max(
+                int(n.rsplit("_", 1)[1])
+                for n in os.listdir(refiner_dir)
+                if n.startswith("model_checkpoint_")
+            ))
+        else:
+            iterations.append(args.iters)
+
     timings = {}
     result = {
         "model": args.model,
@@ -105,8 +125,8 @@ def main():
 
     round_dir = os.path.join(ws, args.round_name)
     paths = make_round_configs(
-        round_dir, volumes, [args.model],
-        iterations=[args.iters], max_iterations=args.iters,
+        round_dir, volumes, models,
+        iterations=iterations, max_iterations=args.iters,
         segment_method="mws", blockwise=True,
         gt_labels=gt_labels,
     )
@@ -115,13 +135,18 @@ def main():
     # checkpoint every 1000 iters: a wedged relay dispatch (stall
     # watchdog, workflows/train.py) then costs <= 1000 iterations
     t0 = time.time()
-    res = run_training(
-        paths[f"train_{args.model}"], save_checkpoints_every=1000,
-        batch_size=args.batch_size,
-    )
+    for m in models:
+        if "_from_" in m:
+            continue  # shipped pretrained checkpoint
+        res = run_training(
+            paths[f"train_{m}"], save_checkpoints_every=1000,
+            batch_size=args.batch_size,
+        )
+        loss = res["final_loss"]
+        result["final_loss"] = (
+            None if loss is None else round(loss, 4)
+        )
     timings["train_s"] = round(time.time() - t0, 1)
-    loss = res["final_loss"]
-    result["final_loss"] = None if loss is None else round(loss, 4)
     emit({**result, "stage": "train"})
 
     t0 = time.time()
