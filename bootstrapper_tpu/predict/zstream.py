@@ -156,6 +156,15 @@ def plan_stream(
     return [0, inc_xy, inc_xy], s, warm_s
 
 
+#: measured warm-step cost relative to its FLOP-proportional estimate
+#: (round-5 on-chip A/B, tools/zplan_ab_probe.py at (1200,764,764):
+#: the warm graph computes the full z-context but only a minimal
+#: output window, so its real cost is ~half the naive
+#: (s_warm+ctx_z)/s slice count — measured 0.25 vs modeled 0.50 and
+#: 0.59 vs 1.33 across the two candidate plans)
+WARM_COST_FACTOR = 0.5
+
+
 def plan_z_groups(
     n_z_slices: int,
     n_cols: int,
@@ -164,6 +173,7 @@ def plan_z_groups(
     s_warm: int,
     ctx_z: int,
     max_groups: int = 64,
+    warm_cost_factor: float = WARM_COST_FACTOR,
 ) -> tuple:
     """Split each xy column's z walk into ``G`` segments streamed on
     separate devices, so deep-but-narrow volumes (fewer xy columns than
@@ -196,7 +206,7 @@ def plan_z_groups(
     """
     if n_z_slices < 1 or n_cols < 1:
         raise ValueError("need a non-empty volume")
-    warm_cost = (s_warm + ctx_z) / s
+    warm_cost = warm_cost_factor * (s_warm + ctx_z) / s
     best = None
     g_cap = max(1, min(max_groups, n_z_slices // max(1, s_warm)))
     for g in range(1, g_cap + 1):

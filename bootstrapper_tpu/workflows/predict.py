@@ -167,7 +167,18 @@ def _maybe_zstream(
         xyf = ((out_shape[1] + ctx_xy) / out_shape[1]) * (
             (out_shape[2] + ctx_xy) / out_shape[2]
         )
-        cands.append((zf * xyf, inc, step, warm, ncols))
+        # ragged-column overcompute: lockstep columns run the FULL xy
+        # tile even where it overhangs the volume, so a plan's real
+        # device work scales with ncols * tile_area / volume_area.
+        # Omitting this term made the model pick the measured-10%-
+        # slower wide plan at (1200,764,764)x8dev (round-5 on-chip
+        # A/B, tools/zplan_ab_probe.py: model 1.46x pro-wide vs
+        # measured 0.91x pro-narrow; with this term + the measured
+        # warm factor the model matches the measured winner).
+        coverage = (ncols * out_shape[1] * out_shape[2]) / max(
+            out_vox[1] * out_vox[2], 1
+        )
+        cands.append((zf * xyf * coverage, inc, step, warm, ncols))
     total, s_inc, s_step, s_warm, n_cols = min(cands)
     if n_dev > 1:
         tiled_total = ((tiled_out_z + ctx_z) / tiled_out_z) * (
@@ -175,6 +186,16 @@ def _maybe_zstream(
             if tiled_out_xy
             else 1.0
         )
+        if tiled_out_xy:
+            # same ragged-coverage accounting as the stream candidates
+            # (edge tiles compute the full compiled tile too)
+            tiled_total *= (
+                -(-out_vox[1] // tiled_out_xy) * tiled_out_xy
+                * (-(-out_vox[2] // tiled_out_xy)) * tiled_out_xy
+                / max(out_vox[1] * out_vox[2], 1)
+            ) * (
+                -(-out_vox[0] // tiled_out_z) * tiled_out_z / out_vox[0]
+            )
         if total >= tiled_total:
             logger.info(
                 "z-stream overhead %.3f >= tiled %.3f (%d columns / "

@@ -99,9 +99,15 @@ def test_sharded_deep_volume_uses_mesh_zstream(tmp_path):
     cfg_path, container = _make_setup(tmp_path, (32, 24, 40))
     res = run_prediction(cfg_path, sharded="batch")
     stats = res["v/3d_affs/5"]
-    assert stats["columns"] >= len(jax.devices())  # zstream selected
+    # zstream selected, mesh filled by columns x z-segments (the
+    # round-5 measurement-calibrated cost model prefers WIDE tiles
+    # with z-segmented columns here — the huge xy context on shrunken
+    # tiles outweighs segment warm overhead; see zplan_ab_probe)
+    assert (
+        stats["columns"] * stats.get("z_segments", 1)
+        >= len(jax.devices())
+    )
     assert stats["devices"] == len(jax.devices())
-    assert stats["steps_per_column"] >= 2
     arr = open_ds(f"{container}/3d_affs/5/3d_affs").to_ndarray()
     assert arr.shape[1:] == (32, 24, 40)
     assert (arr > 0).all()  # full coverage, sigmoid outputs quantized
