@@ -151,8 +151,20 @@ def _maybe_zstream(
     # output voxel — z overhead (warm context + idle padding) times xy
     # context overhead — and stream only if the winner also beats the
     # tiled path's recompute factor.
+    # operator override: the static model cannot see XLA execution
+    # cliffs (round-5 A/B: a 692-wide stream steady graph ran 130x
+    # slower per step than the 388-wide alternative) — force a plan
+    # family when a production run hits one. BOTH measured A/B shapes'
+    # winner was the narrow/many-columns plan.
+    plan_force = os.environ.get("BS_ZSTREAM_PLAN", "auto")
+    min_cols_cands = {n_dev, 1}
+    if plan_force == "narrow":
+        min_cols_cands = {n_dev}
+    elif plan_force == "wide":
+        min_cols_cands = {1}
+
     cands = []
-    for min_cols in {n_dev, 1}:
+    for min_cols in min_cols_cands:
         inc, step, warm = plan_stream(
             nc, out_vox, min_columns=min_cols
         )
