@@ -170,3 +170,19 @@ def test_sharded_shallow_narrow_volume_falls_back_to_batch_tiles(
     arr = open_ds(f"{container}/3d_affs/5/3d_affs").to_ndarray()
     assert arr.shape[1:] == (8, 8, 16)
     assert (arr > 0).all()
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+def test_zstream_plan_env_forces_family(tmp_path, monkeypatch):
+    """BS_ZSTREAM_PLAN=narrow forces one-column-per-device plans (the
+    operator escape hatch for XLA execution cliffs the static model
+    cannot see — round-5 A/B)."""
+    monkeypatch.setenv("BS_ZSTREAM_PLAN", "narrow")
+    cfg_path, container = _make_setup(tmp_path, (32, 24, 40))
+    res = run_prediction(cfg_path, sharded="batch")
+    stats = res["v/3d_affs/5"]
+    assert stats["columns"] >= len(jax.devices())
+    arr = open_ds(f"{container}/3d_affs/5/3d_affs").to_ndarray()
+    assert (arr > 0).all()
